@@ -1,0 +1,84 @@
+"""Headline benchmark: batched N=20 unicycle NMPC solves/s/chip.
+
+BASELINE.json target: >= 1000 solves/s/chip (the reference's CasADi/IPOPT
+stack solves one ~N=30 NLP per 0.2 s tick on CPU, i.e. ~5/s). Prints exactly
+one JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Extra detail (latency percentiles, batch size) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_SOLVES_PER_S = 1000.0  # BASELINE.json north-star
+N_HORIZON = 20
+BATCH = 4096  # BASELINE.json config 4: 4096-scenario bank per chip
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ros2_mpc_tpu.config import Params
+    from ros2_mpc_tpu.solver import make_point_stabilization
+
+    params = Params()
+    prob = make_point_stabilization(params, horizon=N_HORIZON)
+
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-0.3, 0.3, size=(BATCH, 3))
+    goal = np.concatenate(
+        [rng.uniform(-1.5, 1.5, size=(BATCH, 2)), rng.uniform(-np.pi, np.pi, size=(BATCH, 1))],
+        axis=1,
+    )
+    thetas = jax.vmap(prob.make_theta)(jnp.asarray(x0), jnp.asarray(goal))
+    U0 = jnp.zeros((BATCH, N_HORIZON, 2))
+
+    solve = jax.jit(jax.vmap(prob.solve))
+
+    # Warmup / compile
+    sols = solve(thetas, U0)
+    jax.block_until_ready(sols)
+
+    # Timed runs
+    reps = 5
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sols = solve(thetas, U0)
+        jax.block_until_ready(sols)
+        times.append(time.perf_counter() - t0)
+
+    times = np.asarray(times)
+    best = float(times.min())
+    solves_per_s = BATCH / best
+    frac_conv = float(jnp.mean(sols.converged.astype(jnp.float32)))
+
+    print(
+        f"batch={BATCH} N={N_HORIZON} t_batch(best)={best*1e3:.2f} ms "
+        f"p50={np.median(times)*1e3:.2f} ms per-solve={best/BATCH*1e6:.2f} us "
+        f"converged={frac_conv*100:.1f}% device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "nmpc_solves_per_s_per_chip_N20",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / TARGET_SOLVES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

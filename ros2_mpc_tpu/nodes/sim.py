@@ -1,0 +1,148 @@
+"""Closed-loop simulator: jitted unicycle plant + grid lidar + bus I/O.
+
+The reference has no in-repo simulation at all — multi-node behavior is only
+ever exercised against a real robot or an externally-installed Gazebo/nav2
+stack (install.sh:1-7, SURVEY.md §4). This simulator closes the loop in one
+process: a JAX unicycle plant integrated with RK4, a vectorized ray-marched
+lidar over the occupancy map, and publishers for the exact topics the node
+graph consumes (``/map``, ``/scan``, ``/robot_position``) with ``cmd_vel``
+actuation — the deterministic test harness for the full navigation stack.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Params
+from ..models import unicycle
+from ..ops.integrators import rk4_step
+from .bus import LaserScan, MessageBus, Odometry, Pose, Quaternion, Twist
+from .topics import MapServer
+
+
+@partial(jax.jit, static_argnums=(4, 7))
+def lidar_scan(
+    occupied,  # (H, W) bool, pgm row order (row 0 = top)
+    origin,  # (2,) world meters of the bottom-left map corner
+    resolution,
+    pose,  # (3,) x, y, yaw
+    n_beams: int,
+    angle_min,
+    angle_max,
+    max_range: float,
+):
+    """Ray-marched ranges in the robot frame (inf past max_range) — all beams
+    and all samples evaluated as one fused gather."""
+    H, W = occupied.shape
+    step = resolution / 2.0
+    n_steps = int(max_range / step)
+    beam_angles = pose[2] + angle_min + jnp.arange(n_beams) * (angle_max - angle_min) / n_beams
+    ts = (jnp.arange(n_steps) + 1.0) * step  # (T,)
+    px = pose[0] + jnp.cos(beam_angles)[:, None] * ts[None, :]
+    py = pose[1] + jnp.sin(beam_angles)[:, None] * ts[None, :]
+    col = ((px - origin[0]) / resolution).astype(jnp.int32)
+    row_from_bottom = ((py - origin[1]) / resolution).astype(jnp.int32)
+    row = H - 1 - row_from_bottom
+    inside = (col >= 0) & (col < W) & (row >= 0) & (row < H)
+    hit = jnp.where(inside, occupied[jnp.clip(row, 0, H - 1), jnp.clip(col, 0, W - 1)], False)
+    first = jnp.argmax(hit, axis=1)  # (B,)
+    any_hit = jnp.any(hit, axis=1)
+    return jnp.where(any_hit, ts[first], jnp.inf)
+
+
+@jax.jit
+def plant_step(x, u, dt):
+    return rk4_step(unicycle.f, x, jnp.asarray(u), dt)
+
+
+class Simulator:
+    """Single-robot world wired onto a :class:`MessageBus`."""
+
+    def __init__(
+        self,
+        bus: MessageBus,
+        map_image: np.ndarray,  # trinary pgm convention: 254 free/0 occ/205 unknown
+        map_info: dict,
+        start_pose=(0.0, 0.0, 0.0),
+        params: Params = Params(),
+        n_beams: int = 360,
+        max_range: float = 3.5,
+    ):
+        self.bus = bus
+        self.params = params
+        self.map_image = np.asarray(map_image)
+        self.map_info = map_info
+        self.occupied = jnp.asarray(self.map_image == 0)
+        self.origin = jnp.asarray(map_info["origin"][:2], dtype=float)
+        self.resolution = float(map_info["resolution"])
+        self.pose = jnp.asarray(start_pose, dtype=float)
+        self.cmd = np.zeros(2)
+        self.n_beams = n_beams
+        self.max_range = max_range
+        self.map_server = MapServer(bus)
+        bus.subscribe("cmd_vel", self._cmd_callback)
+        self.publish_map()
+        self.publish_state()
+        self.publish_scan()
+
+    def _cmd_callback(self, msg: Twist):
+        self.cmd = np.array([msg.linear_x, msg.angular_z])
+
+    def publish_map(self):
+        """ROS-convention OccupancyGrid exactly as the reference map_server
+        publishes it (core/map_server.py:16-20: 0 -> 100 occupied,
+        254/205 -> 0 free, int8, flipud)."""
+        img = self.map_image.copy().astype(np.int16)
+        occ = np.where(img == 0, 100, 0).astype(np.int8)
+        self.map_server.publish_map(np.flipud(occ), self.map_info)
+
+    def publish_state(self):
+        x, y, yaw = (float(v) for v in self.pose)
+        self.bus.publish(
+            "/robot_position",
+            Odometry(
+                pose=Pose(
+                    x=x,
+                    y=y,
+                    orientation=Quaternion(z=float(np.sin(yaw / 2)), w=float(np.cos(yaw / 2))),
+                ),
+                twist=Twist(linear_x=float(self.cmd[0]), angular_z=float(self.cmd[1])),
+            ),
+        )
+
+    def publish_scan(self):
+        ranges = lidar_scan(
+            self.occupied,
+            self.origin,
+            self.resolution,
+            self.pose,
+            self.n_beams,
+            -np.pi,
+            np.pi,
+            self.max_range,
+        )
+        self.bus.publish(
+            "/scan",
+            LaserScan(ranges=np.asarray(ranges), angle_min=-np.pi, angle_max=np.pi),
+        )
+
+    def step(self, dt=None):
+        """Advance the plant one control period and republish sensors."""
+        dt = self.params.dt if dt is None else dt
+        self.pose = plant_step(self.pose, self.cmd, dt)
+        self.publish_state()
+        self.publish_scan()
+        return np.asarray(self.pose)
+
+    def in_collision(self) -> bool:
+        col = int((float(self.pose[0]) - float(self.origin[0])) / self.resolution)
+        row = self.map_image.shape[0] - 1 - int(
+            (float(self.pose[1]) - float(self.origin[1])) / self.resolution
+        )
+        if not (0 <= row < self.map_image.shape[0] and 0 <= col < self.map_image.shape[1]):
+            return True
+        return bool(self.map_image[row, col] == 0)

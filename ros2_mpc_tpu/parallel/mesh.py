@@ -1,0 +1,93 @@
+"""Device-mesh scaling for the scenario-batched solver.
+
+The reference has no parallelism of any kind — one Python process per ROS
+node, one IPOPT solve per tick (SURVEY.md §2). The TPU-native scaling model
+(BASELINE.json "north_star") is:
+
+* **batch axis**: ``vmap`` over thousands of (start, goal, obstacle-layout)
+  scenario solves per chip;
+* **mesh axis**: the scenario bank sharded over a named ``jax.sharding.Mesh``
+  spanning chips/hosts via ``pjit`` (GSPMD); summary telemetry (mean cost,
+  convergence fraction, max KKT residual) is reduced with XLA collectives
+  that ride ICI within a slice and DCN across slices;
+* **multi-host**: ``jax.distributed.initialize`` + the same program — GSPMD
+  makes the per-host code identical.
+
+The mesh uses a single ``"scenario"`` axis by default (MPC solves are
+embarrassingly parallel across scenarios; the tiny 3x2 matrices leave nothing
+to gain from intra-solve tensor sharding). A 2D ``("host", "chip")`` layout is
+available for DCN/ICI-aware placement of very large sweeps.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SCENARIO_AXIS = "scenario"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = SCENARIO_AXIS) -> Mesh:
+    """1D mesh over the first ``n_devices`` (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_host_chip_mesh(n_hosts: int, chips_per_host: int) -> Mesh:
+    """2D (host, chip) mesh: shard scenarios over both axes but keep
+    host-crossing collectives on the outer (DCN) axis only."""
+    devices = np.asarray(jax.devices()[: n_hosts * chips_per_host]).reshape(
+        n_hosts, chips_per_host
+    )
+    return Mesh(devices, ("host", "chip"))
+
+
+def bank_metrics(sols) -> dict:
+    """Scalar telemetry reduced across the whole bank — under pjit these
+    ``mean``/``max`` lower to XLA all-reduces over the mesh."""
+    return {
+        "mean_cost": jnp.mean(sols.cost),
+        "max_kkt": jnp.max(sols.kkt_residual),
+        "frac_converged": jnp.mean(sols.converged.astype(jnp.float32)),
+    }
+
+
+def make_bank_solver(problem, mesh: Mesh, axis_names=None):
+    """Jit a scenario-bank solve sharded over ``mesh``.
+
+    Returns ``step(thetas, U0s) -> (Solution batch, metrics)`` where every
+    leaf of ``thetas``/``U0s`` has a leading scenario axis divisible by the
+    mesh size. Solutions stay sharded (device-resident for the next
+    warm-started tick); metrics are replicated scalars.
+    """
+    if axis_names is None:
+        axis_names = tuple(mesh.axis_names)
+    batch_spec = P(axis_names)
+    shard = NamedSharding(mesh, batch_spec)
+    replicate = NamedSharding(mesh, P())
+
+    batched = jax.vmap(problem.solve)
+
+    def _step(thetas, U0s):
+        sols = batched(thetas, U0s)
+        return sols, bank_metrics(sols)
+
+    return jax.jit(
+        _step,
+        in_shardings=(shard, shard),
+        out_shardings=(shard, replicate),
+    )
+
+
+def shard_bank(tree, mesh: Mesh, axis_names=None):
+    """Place a host pytree on the mesh, sharded over the leading axis."""
+    if axis_names is None:
+        axis_names = tuple(mesh.axis_names)
+    sharding = NamedSharding(mesh, P(axis_names))
+    return jax.device_put(tree, sharding)

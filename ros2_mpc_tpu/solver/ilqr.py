@@ -1,0 +1,275 @@
+"""Batched interior-point iLQR: the TPU-native replacement for CasADi/IPOPT.
+
+The reference hands each control tick to IPOPT — a C++ interior-point NLP
+solver — through a CasADi ``Opti`` graph rebuilt symbolically per problem
+class (``opti.solve()`` at ros2_mpc/planner/local_planner_tracking.py:74,
+ros2_mpc/planner/local_planner_point_stabilization.py:84,
+ros2_mpc/mpc_point_stabilization.py:64). That design is one-robot-one-solve
+and opaque to any accelerator.
+
+Here the same NLP — multiple-shooting unicycle NMPC with control box bounds —
+is solved by a fully jit-compatible primal log-barrier iLQR:
+
+* **single shooting**: the dynamics equality constraints are eliminated by an
+  exact ``lax.scan`` rollout of the same integrator, so the reduced problem is
+  ``min_U J(U)  s.t.  lo <= u_k <= hi`` with an identical solution set;
+* **barrier continuation**: bounds enter as ``-mu * sum(log(u-lo)+log(hi-u))``
+  with ``mu`` driven down a geometric schedule, exactly the interior-point
+  treatment IPOPT applies to its bound constraints;
+* **Riccati sweeps**: each iLQR step quadratizes stage costs with exact
+  ``jax.hessian`` (tiny 5x5 blocks), linearizes dynamics with ``jax.jacfwd``,
+  runs a backward Riccati recursion (``lax.scan`` reversed) and a feedback
+  forward rollout;
+* **branch-free line search**: all step-size candidates are rolled out at once
+  with ``vmap`` and an Armijo-accepted winner is selected with ``argmax`` — no
+  data-dependent Python control flow, so the whole solve jits to one XLA
+  program;
+* **batching**: ``vmap`` over the parameter pytree adds the scenario axis; the
+  same compiled program serves one real-time tick or a 4096-scenario bank.
+
+Everything is shape-static and fixed-iteration; solver state (regularization,
+best cost) is carried through the scan so the program is identical across
+iterations. Failure handling is graceful where the reference's was absent
+(a non-convergent IPOPT solve raises and kills the node,
+local_planner_tracking.py:74): this solver always returns its best iterate
+plus a KKT residual and status flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class OCP(NamedTuple):
+    """An optimal-control-problem template (static part, hashable closure data).
+
+    The three reference MPC classes become three OCP instances over one solver
+    (see solver/problems.py) instead of three hand-built CasADi graphs.
+    """
+
+    transition: Callable  # F(x, u) -> x_next  (discrete dynamics)
+    stage_cost: Callable  # l(x, u, k, theta) -> scalar, k in [0, N)
+    terminal_cost: Callable  # lf(x, theta) -> scalar
+    horizon: int
+    n_states: int
+    n_controls: int
+    u_lo: tuple
+    u_hi: tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverSettings:
+    """Fixed-iteration interior-point schedule (static under jit)."""
+
+    mu_init: float = 1e-1
+    mu_final: float = 1e-8
+    barrier_stages: int = 10
+    iters_per_stage: int = 6
+    n_alphas: int = 10
+    reg_init: float = 1e-6
+    reg_min: float = 1e-9
+    reg_max: float = 1e8
+    armijo_c1: float = 1e-4
+    interior_clip: float = 1e-7  # fraction of (hi-lo) kept as strict slack
+    kkt_tol: float = 1e-4
+
+    @property
+    def total_iters(self) -> int:
+        return self.barrier_stages * self.iters_per_stage
+
+    def mu_schedule(self) -> jnp.ndarray:
+        """Per-iteration barrier parameter: geometric from mu_init to mu_final,
+        held constant within each stage."""
+        stages = jnp.logspace(
+            jnp.log10(self.mu_init), jnp.log10(self.mu_final), self.barrier_stages
+        )
+        return jnp.repeat(stages, self.iters_per_stage)
+
+
+class Solution(NamedTuple):
+    U: jnp.ndarray  # (N, m) optimal controls
+    X: jnp.ndarray  # (N+1, n) optimal state trajectory
+    cost: jnp.ndarray  # scalar objective (without barrier)
+    kkt_residual: jnp.ndarray  # projected-gradient infinity norm
+    converged: jnp.ndarray  # bool: kkt_residual < settings.kkt_tol
+    n_iters: int  # static iteration count of the schedule
+    reg: jnp.ndarray  # final Levenberg regularization
+
+
+def _symmetrize(M):
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
+def make_solver(ocp: OCP, settings: SolverSettings = SolverSettings()):
+    """Build ``solve(theta, U0) -> Solution`` for one OCP template.
+
+    ``theta`` is an arbitrary parameter pytree (initial state, references,
+    obstacle vectors, weights). The returned function is pure and jit/vmap/
+    pjit-composable; callers add scenario batching with
+    ``jax.vmap(solve, in_axes=(0, 0))``.
+    """
+    N, n, m = ocp.horizon, ocp.n_states, ocp.n_controls
+    u_lo = jnp.asarray(ocp.u_lo)
+    u_hi = jnp.asarray(ocp.u_hi)
+    u_range = u_hi - u_lo
+    ks = jnp.arange(N)
+    F = ocp.transition
+
+    def x0_of(theta):
+        return theta["x0"]
+
+    def barrier(u, mu):
+        return -mu * jnp.sum(jnp.log(u - u_lo) + jnp.log(hi_minus(u)))
+
+    def hi_minus(u):
+        return u_hi - u
+
+    def stage_cost_mu(x, u, k, theta, mu):
+        return ocp.stage_cost(x, u, k, theta) + barrier(u, mu)
+
+    def rollout_and_cost(U, theta, mu):
+        """One fused scan: trajectory + barrier objective."""
+
+        def body(carry, inp):
+            x, acc = carry
+            u, k = inp
+            acc = acc + stage_cost_mu(x, u, k, theta, mu)
+            x_next = F(x, u)
+            return (x_next, acc), x_next
+
+        (xN, acc), X_tail = jax.lax.scan(body, (x0_of(theta), 0.0), (U, ks))
+        X = jnp.concatenate([x0_of(theta)[None], X_tail], axis=0)
+        return X, acc + ocp.terminal_cost(xN, theta)
+
+    def true_cost(U, theta):
+        """Objective without barrier — the reference NLP's value."""
+
+        def body(carry, inp):
+            x, acc = carry
+            u, k = inp
+            acc = acc + ocp.stage_cost(x, u, k, theta)
+            return (F(x, u), acc), None
+
+        (xN, acc), _ = jax.lax.scan(body, (x0_of(theta), 0.0), (U, ks))
+        return acc + ocp.terminal_cost(xN, theta)
+
+    def stage_derivs(x, u, k, theta, mu):
+        """Exact quadratization of one stage: dynamics Jacobians + cost
+        gradient/Hessian over z = (x, u) (5x5 with unicycle dims)."""
+        A = jax.jacfwd(lambda xx: F(xx, u))(x)
+        B = jax.jacfwd(lambda uu: F(x, uu))(u)
+
+        def lz(z):
+            return stage_cost_mu(z[:n], z[n:], k, theta, mu)
+
+        z = jnp.concatenate([x, u])
+        g = jax.grad(lz)(z)
+        H = jax.hessian(lz)(z)
+        return A, B, g[:n], g[n:], H[:n, :n], H[n:, :n], H[n:, n:]
+
+    def backward_pass(X, U, theta, mu, reg):
+        A, B, lx, lu, lxx, lux, luu = jax.vmap(
+            lambda x, u, k: stage_derivs(x, u, k, theta, mu)
+        )(X[:-1], U, ks)
+
+        Vx_N = jax.grad(lambda x: ocp.terminal_cost(x, theta))(X[-1])
+        Vxx_N = jax.hessian(lambda x: ocp.terminal_cost(x, theta))(X[-1])
+
+        def body(carry, inp):
+            Vx, Vxx, dV1, dV2, qu_max = carry
+            A_k, B_k, lx_k, lu_k, lxx_k, lux_k, luu_k = inp
+            Qx = lx_k + A_k.T @ Vx
+            Qu = lu_k + B_k.T @ Vx
+            Qxx = lxx_k + A_k.T @ Vxx @ A_k
+            Qux = lux_k + B_k.T @ Vxx @ A_k
+            Quu = luu_k + B_k.T @ Vxx @ B_k + reg * jnp.eye(m)
+            Quu = _symmetrize(Quu)
+            # m=2: solve with a Cholesky-free explicit factorization; fall back
+            # to heavy diagonal loading if Quu lost positive-definiteness.
+            det = Quu[0, 0] * Quu[1, 1] - Quu[0, 1] * Quu[1, 0] if m == 2 else jnp.linalg.det(Quu)
+            bad = jnp.logical_or(det <= 1e-12, jnp.diagonal(Quu).min() <= 0.0)
+            Quu_safe = jnp.where(bad, Quu + 1e3 * jnp.eye(m), Quu)
+            rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
+            sol = jnp.linalg.solve(Quu_safe, rhs)
+            kff = -sol[:, 0]
+            K = -sol[:, 1:]
+            Vx_new = Qx + K.T @ Quu_safe @ kff + K.T @ Qu + Qux.T @ kff
+            Vxx_new = _symmetrize(Qxx + K.T @ Quu_safe @ K + K.T @ Qux + Qux.T @ K)
+            dV1 = dV1 + kff @ Qu
+            dV2 = dV2 + 0.5 * kff @ Quu_safe @ kff
+            qu_max = jnp.maximum(qu_max, jnp.max(jnp.abs(Qu)))
+            return (Vx_new, Vxx_new, dV1, dV2, qu_max), (kff, K)
+
+        init = (Vx_N, Vxx_N, 0.0, 0.0, 0.0)
+        (_, _, dV1, dV2, qu_max), (kffs, Ks) = jax.lax.scan(
+            body, init, (A, B, lx, lu, lxx, lux, luu), reverse=True
+        )
+        return kffs, Ks, dV1, dV2, qu_max
+
+    def feedback_rollout(U, X_old, kffs, Ks, alpha, theta, mu):
+        """Closed-loop candidate rollout at step size alpha, clipped into the
+        strict interior so the barrier stays finite."""
+        eps = settings.interior_clip * u_range
+
+        def body(carry, inp):
+            x, acc = carry
+            u_old, x_old, kff, K, k = inp
+            u = u_old + alpha * kff + K @ (x - x_old)
+            u = jnp.clip(u, u_lo + eps, u_hi - eps)
+            acc = acc + stage_cost_mu(x, u, k, theta, mu)
+            return (F(x, u), acc), u
+
+        (xN, acc), U_new = jax.lax.scan(
+            body, (x0_of(theta), 0.0), (U, X_old[:-1], kffs, Ks, ks)
+        )
+        return U_new, acc + ocp.terminal_cost(xN, theta)
+
+    alphas = 0.5 ** jnp.arange(settings.n_alphas)
+
+    def solve(theta, U0):
+        def iteration(carry, mu):
+            U, reg = carry
+            X, J = rollout_and_cost(U, theta, mu)
+            kffs, Ks, dV1, dV2, _ = backward_pass(X, U, theta, mu, reg)
+
+            U_cands, J_cands = jax.vmap(
+                lambda a: feedback_rollout(U, X, kffs, Ks, a, theta, mu)
+            )(alphas)
+            expected = -(alphas * dV1 + alphas**2 * dV2)
+            J_cands = jnp.where(jnp.isnan(J_cands), jnp.inf, J_cands)
+            accept = J_cands <= J - settings.armijo_c1 * jnp.maximum(expected, 0.0)
+            any_accept = jnp.any(accept)
+            # Largest accepted alpha (alphas are descending, take the first hit).
+            idx = jnp.argmax(accept)
+            U_next = jnp.where(any_accept, U_cands[idx], U)
+            reg_next = jnp.where(
+                any_accept,
+                jnp.maximum(reg * 0.5, settings.reg_min),
+                jnp.minimum(reg * 10.0 + settings.reg_min, settings.reg_max),
+            )
+            return (U_next, reg_next), None
+
+        eps0 = 1e-3 * u_range
+        U = jnp.clip(jnp.asarray(U0, dtype=jnp.result_type(float)), u_lo + eps0, u_hi - eps0)
+        (U, reg), _ = jax.lax.scan(
+            iteration, (U, jnp.asarray(settings.reg_init)), settings.mu_schedule()
+        )
+        X, _ = rollout_and_cost(U, theta, settings.mu_final)
+        J = true_cost(U, theta)
+        g = jax.grad(true_cost)(U, theta)
+        kkt = jnp.max(jnp.abs(U - jnp.clip(U - g, u_lo, u_hi)))
+        return Solution(
+            U=U,
+            X=X,
+            cost=J,
+            kkt_residual=kkt,
+            converged=kkt < settings.kkt_tol,
+            n_iters=settings.total_iters,
+            reg=reg,
+        )
+
+    return solve
