@@ -1,0 +1,139 @@
+"""Trajectory-tracking control-loop node — the flagship tick
+(behavior-parity rebuild of ros2_mpc/scripts/path_follower_local_planner.py:134-223,
+call stack SURVEY.md §3.1).
+
+Differences from the reference, all deliberate:
+* the CasADi/IPOPT solve is one jitted interior-point iLQR call;
+* warm start defaults to shift-and-hold of the previous solution instead of
+  the reference's re-zeroed guess (quirk #3) — ``reference_parity=True``
+  restores zeros;
+* a failed solve degrades to the previous control instead of raising
+  (the reference crashes the node, local_planner_tracking.py:74);
+* per-tick telemetry (solve latency, KKT residual, iterations) is recorded.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..config import Params
+from ..solver import make_tracking, shift_controls
+from ..utils.telemetry import Telemetry
+from .bus import MessageBus
+from .reference_gen import (
+    get_headings,
+    get_obstacles,
+    get_reference_trajectory,
+    scan_to_world_obstacles,
+    slew_limited_command,
+)
+from .topics import CmdVelPublisher, GoalSubscriber, LaserSubscriber, OdomSubscriber, RobotController
+
+
+class PathFollowerNode:
+    def __init__(
+        self,
+        bus: MessageBus,
+        params: Params = Params(),
+        reference_parity: bool = False,
+        horizon: int | None = None,
+    ):
+        self.params = params
+        self.reference_parity = reference_parity
+        self.robot_controller = RobotController(bus)
+        self.odom_node = OdomSubscriber(bus)
+        self.cmd_vel_publisher = CmdVelPublisher(bus)
+        self.goal_listener = GoalSubscriber(bus)
+        self.laser_node = LaserSubscriber(bus)
+        self.problem = make_tracking(params, reference_parity=reference_parity, horizon=horizon)
+        self.N = self.problem.ocp.horizon
+        self._solve = jax.jit(self.problem.solve)
+        self.u_warm = self.problem.default_u0
+        self.u_last = np.zeros(2)
+        self.goal_flag = False
+        self.telemetry = Telemetry("path_follower")
+        self._path_fetch_time = -np.inf
+
+    def tick(self, now: float | None = None) -> dict:
+        """One control tick. Returns a status dict; publishes cmd_vel."""
+        p = self.params
+        now = time.monotonic() if now is None else now
+        goal = self.goal_listener.get_goal()
+        if goal is None:
+            return {"status": "waiting_for_goal"}
+        scan_data, angles = self.laser_node.get_scan()
+        pos, ori = self.odom_node.get_states()
+        if scan_data is None or pos is None:
+            return {"status": "waiting_for_sensors"}
+
+        if self.reference_parity:
+            # quirk: the reference tracking node's un-normalized grid never
+            # yields obstacles (always 100 m sentinels).
+            x_obs, y_obs = get_obstacles(
+                scan_data, angles, p.costmap_size, p.resolution, pos, ori,
+                p.n_obstacle_points, normalized=False,
+            )
+        else:
+            x_obs, y_obs = scan_to_world_obstacles(
+                scan_data, angles, p.costmap_size, pos, ori[2], p.n_obstacle_points
+            )
+        if now - self._path_fetch_time > p.path_refresh_period:
+            self._path_fetch_time = now
+        path_xy, path_heading = self.robot_controller.get_path()
+        if path_xy is None or len(path_xy) < 2:
+            return {"status": "waiting_for_path"}
+
+        _, path_velocity, path_omega = get_headings(path_xy, p.dt)
+        x0 = np.array([pos[0], pos[1], ori[2]])
+        pxf, puf = get_reference_trajectory(
+            x0, goal, path_xy, path_heading, path_velocity, path_omega, self.N
+        )
+        theta = self.problem.make_theta(x0, pxf, puf, x_obs, y_obs)
+        U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
+
+        t0 = time.perf_counter()
+        sol = self._solve(theta, U0)
+        solve_s = time.perf_counter() - t0
+        u = np.asarray(sol.U[0])
+        if not np.all(np.isfinite(u)):
+            u = self.u_last  # graceful degradation, not a crash
+        else:
+            self.u_warm = shift_controls(sol.U)
+        self.telemetry.record(
+            solve_s=solve_s,
+            kkt=float(sol.kkt_residual),
+            cost=float(sol.cost),
+            converged=bool(sol.converged),
+        )
+
+        if self.goal_flag:
+            self.cmd_vel_publisher.publish_cmd(0.0, 0.0)
+        else:
+            v_cmd, w_cmd, self.u_last = slew_limited_command(u, self.u_last, p.slew_limit)
+            self.cmd_vel_publisher.publish_cmd(v_cmd, w_cmd)
+
+        # goal latch at the hardcoded 0.15 m radius (quirk #9)
+        if np.linalg.norm(x0[0:2] - goal[0:2]) > p.tracking_goal_radius:
+            self.goal_flag = False
+        elif not self.goal_flag:
+            self.cmd_vel_publisher.publish_cmd(0.0, 0.0)
+            self.goal_flag = True
+        return {
+            "status": "goal_reached" if self.goal_flag else "tracking",
+            "u": u,
+            "solve_s": solve_s,
+            "kkt": float(sol.kkt_residual),
+        }
+
+
+def main():  # console entry (runs against the in-process bus + simulator)
+    from .launch import run_sim_stack
+
+    run_sim_stack(follower="tracking")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Point-stabilization (carrot-chasing) control-loop node — behavior-parity
+rebuild of ros2_mpc/scripts/point_follower_local_planner.py:121-231
+(call stack SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..config import Params
+from ..solver import make_point_stabilization, shift_controls
+from ..utils.telemetry import Telemetry
+from .bus import MessageBus
+from .reference_gen import (
+    get_goal_for_mpc,
+    get_obstacles,
+    scan_to_world_obstacles,
+    slew_limited_command,
+)
+from .topics import (
+    CmdVelPublisher,
+    GoalPointPublisher,
+    GoalSubscriber,
+    LaserSubscriber,
+    OdomSubscriber,
+    RobotController,
+)
+
+
+class PointFollowerNode:
+    def __init__(
+        self,
+        bus: MessageBus,
+        params: Params = Params(),
+        reference_parity: bool = False,
+        horizon: int | None = None,
+    ):
+        self.params = params
+        self.reference_parity = reference_parity
+        self.robot_controller = RobotController(bus)
+        self.odom_node = OdomSubscriber(bus)
+        self.cmd_vel_publisher = CmdVelPublisher(bus)
+        self.goal_listener = GoalSubscriber(bus)
+        self.laser_node = LaserSubscriber(bus)
+        self.goal_point_publisher = GoalPointPublisher(bus)
+        self.problem = make_point_stabilization(
+            params, reference_parity=reference_parity, horizon=horizon
+        )
+        self.N = self.problem.ocp.horizon
+        self._solve = jax.jit(self.problem.solve)
+        self.u_warm = self.problem.default_u0
+        self.u_last = np.zeros(2)
+        self.goal_flag = False
+        self.telemetry = Telemetry("point_follower")
+
+    def tick(self, now: float | None = None) -> dict:
+        p = self.params
+        goal = self.goal_listener.get_goal()
+        if goal is None:
+            return {"status": "waiting_for_goal"}
+        scan_data, angles = self.laser_node.get_scan()
+        pos, ori = self.odom_node.get_states()
+        if scan_data is None or pos is None:
+            return {"status": "waiting_for_sensors"}
+
+        if self.reference_parity:
+            # the point follower's normalized grid variant (point_follower:89)
+            # finds cells but transposes the cloud (see reference_gen doc).
+            x_obs, y_obs = get_obstacles(
+                scan_data, angles, p.costmap_size, p.resolution, pos, ori,
+                p.n_obstacle_points, normalized=True,
+            )
+        else:
+            x_obs, y_obs = scan_to_world_obstacles(
+                scan_data, angles, p.costmap_size, pos, ori[2], p.n_obstacle_points
+            )
+        path_xy, path_headings = self.robot_controller.get_path()
+        if path_xy is None or len(path_xy) < 1:
+            return {"status": "waiting_for_path"}
+
+        # quirk: yaw folded into [0, 2pi) here (point_follower:172)
+        x0 = np.array([pos[0], pos[1], ori[2] % (2 * np.pi)])
+        goal_mpc = get_goal_for_mpc(path_xy, path_headings, goal, pos, p.look_ahead_distance)
+        self.goal_point_publisher.publish_goal_point(goal_mpc)
+
+        theta = self.problem.make_theta(x0, goal_mpc, x_obs, y_obs)
+        U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
+        t0 = time.perf_counter()
+        sol = self._solve(theta, U0)
+        solve_s = time.perf_counter() - t0
+        u = np.asarray(sol.U[0])
+        if not np.all(np.isfinite(u)):
+            u = self.u_last
+        else:
+            self.u_warm = shift_controls(sol.U)
+        self.telemetry.record(
+            solve_s=solve_s,
+            kkt=float(sol.kkt_residual),
+            cost=float(sol.cost),
+            converged=bool(sol.converged),
+        )
+
+        if self.goal_flag:
+            self.cmd_vel_publisher.publish_cmd(0.0, 0.0)
+        else:
+            v_cmd, w_cmd, self.u_last = slew_limited_command(u, self.u_last, p.slew_limit)
+            self.cmd_vel_publisher.publish_cmd(v_cmd, w_cmd)
+
+        if np.linalg.norm(x0[0:2] - goal[0:2]) > p.goal_threshold:
+            self.goal_flag = False
+        elif not self.goal_flag:
+            self.cmd_vel_publisher.publish_cmd(0.0, 0.0)
+            self.goal_flag = True
+        return {
+            "status": "goal_reached" if self.goal_flag else "chasing",
+            "u": u,
+            "carrot": goal_mpc,
+            "solve_s": solve_s,
+        }
+
+
+def main():
+    from .launch import run_sim_stack
+
+    run_sim_stack(follower="point")
+
+
+if __name__ == "__main__":
+    main()

@@ -114,11 +114,13 @@ def get_obstacles(
     occ = np.asarray(raster(jnp.asarray(np.asarray(scan_data, dtype=float)), jnp.asarray(angles)))
     occ = (1 - occ / 100.0) if normalized else (1 - occ)
     occ = np.rot90(occ, k=2)
-    y_field, x_field = gridops.convert_to_map_coordinates(jnp.asarray(occ), resolution)
+    # NOTE: the reference binds the *first* return (meter_y) to its local
+    # ``x`` (path_follower:104 vs utils/utils.py:124) — mirrored exactly.
+    x_field, y_field = gridops.convert_to_map_coordinates(jnp.asarray(occ), resolution)
     x_field, y_field = np.asarray(x_field), np.asarray(y_field)
     obstacles_idx = np.where(occ == 0)
     obs_x, obs_y = x_field[obstacles_idx], y_field[obstacles_idx]
-    rotated = np.asarray(
+    rotated = np.array(
         gridops.rotate_coordinates(jnp.asarray(np.array([obs_x, obs_y])), float(ori[2]))
     )
     rotated[0, :] += pos[0]
@@ -134,6 +136,44 @@ def get_obstacles(
         # quirk #10: empty scan -> phantom obstacles at 100 m
         x_arr = ones * 100.0
         y_arr = ones * 100.0
+    return x_arr, y_arr
+
+
+def scan_to_world_obstacles(
+    scan_data,
+    angles,
+    size,
+    pos,
+    yaw,
+    n_obstacle_points: int,
+):
+    """Corrected obstacle extraction: world-frame obstacle points straight
+    from scan polar geometry, restricted to the local costmap window.
+
+    The reference's pipeline (rasterize -> rot90 -> meter fields -> gather ->
+    rotate) additionally *transposes* the cloud because it binds
+    ``convert_to_map_coordinates``'s ``(meter_y, meter_x)`` return to
+    ``x, y`` (path_follower:104 vs utils/utils.py:124) — harmless there since
+    the obstacle cost is never active (quirk #1), but fatal once it is. This
+    function is the geometrically-correct default for the live nodes;
+    :func:`get_obstacles` remains the quirk-faithful variant."""
+    r = np.asarray(scan_data, dtype=float)
+    n = len(r)
+    beam = np.arange(n) * (angles[1] - angles[0]) / n + angles[0]
+    with np.errstate(invalid="ignore"):
+        wx = pos[0] + r * np.cos(yaw + beam)
+        wy = pos[1] + r * np.sin(yaw + beam)
+    keep = np.isfinite(wx) & np.isfinite(wy)
+    keep &= (np.abs(wx - pos[0]) <= size) & (np.abs(wy - pos[1]) <= size)
+    wx, wy = wx[keep], wy[keep]
+    # Pad with far sentinels — NOT the reference's first-obstacle broadcast
+    # (quirk #10), which multiplies one real point's soft-cost weight ~160x
+    # and repels the robot from phantom mass once obstacle costs are live.
+    x_arr = np.full(n_obstacle_points, 100.0)
+    y_arr = np.full(n_obstacle_points, 100.0)
+    m = min(len(wx), n_obstacle_points)
+    x_arr[:m] = wx[:m]
+    y_arr[:m] = wy[:m]
     return x_arr, y_arr
 
 

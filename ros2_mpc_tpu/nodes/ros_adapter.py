@@ -1,0 +1,85 @@
+"""Optional rclpy edge adapter.
+
+The BASELINE north star keeps the ROS 2 nodes as "a thin host shim calling
+the jitted solver". When rclpy is installed (a real robot / ROS 2 system),
+:class:`RclpyBusBridge` mirrors the in-process bus topics onto DDS so the
+node graph in this package drives a physical robot unchanged; without rclpy
+everything runs on the in-process bus (tests, simulation, benchmarks).
+
+This module is import-guarded: it must not be imported at package import
+time (rclpy is absent in CI and on TPU hosts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bus import LaserScan, MessageBus, Odometry, Pose, PoseStamped, Quaternion, Twist
+
+try:  # pragma: no cover - exercised only on ROS-enabled hosts
+    import rclpy  # type: ignore
+    from geometry_msgs.msg import PoseStamped as RosPoseStamped  # type: ignore
+    from geometry_msgs.msg import Twist as RosTwist  # type: ignore
+    from nav_msgs.msg import Odometry as RosOdometry  # type: ignore
+    from sensor_msgs.msg import LaserScan as RosLaserScan  # type: ignore
+
+    HAVE_RCLPY = True
+except ImportError:  # pragma: no cover
+    HAVE_RCLPY = False
+
+
+class RclpyBusBridge:  # pragma: no cover - requires a ROS 2 installation
+    """Bidirectional bridge: DDS sensor topics -> bus, bus cmd_vel -> DDS."""
+
+    def __init__(self, bus: MessageBus, node_name: str = "tpu_mpc_bridge"):
+        if not HAVE_RCLPY:
+            raise ImportError("rclpy is not available; use the in-process bus instead")
+        rclpy.init()
+        self.bus = bus
+        self.node = rclpy.create_node(node_name)
+        self.node.create_subscription(RosLaserScan, "/scan", self._on_scan, 10)
+        self.node.create_subscription(RosOdometry, "/robot_position", self._on_odom, 10)
+        self.node.create_subscription(RosPoseStamped, "/goal_pose", self._on_goal, 10)
+        self._cmd_pub = self.node.create_publisher(RosTwist, "cmd_vel", 10)
+        bus.subscribe("cmd_vel", self._on_bus_cmd)
+
+    def _on_scan(self, msg):
+        self.bus.publish(
+            "/scan",
+            LaserScan(ranges=np.asarray(msg.ranges), angle_min=msg.angle_min, angle_max=msg.angle_max),
+        )
+
+    def _on_odom(self, msg):
+        q = msg.pose.pose.orientation
+        self.bus.publish(
+            "/robot_position",
+            Odometry(
+                pose=Pose(
+                    x=msg.pose.pose.position.x,
+                    y=msg.pose.pose.position.y,
+                    orientation=Quaternion(x=q.x, y=q.y, z=q.z, w=q.w),
+                )
+            ),
+        )
+
+    def _on_goal(self, msg):
+        q = msg.pose.orientation
+        self.bus.publish(
+            "/goal_pose",
+            PoseStamped(
+                pose=Pose(
+                    x=msg.pose.position.x,
+                    y=msg.pose.position.y,
+                    orientation=Quaternion(x=q.x, y=q.y, z=q.z, w=q.w),
+                )
+            ),
+        )
+
+    def _on_bus_cmd(self, msg: Twist):
+        out = RosTwist()
+        out.linear.x = float(msg.linear_x)
+        out.angular.z = float(msg.angular_z)
+        self._cmd_pub.publish(out)
+
+    def spin_once(self, timeout_sec: float = 0.05):
+        rclpy.spin_once(self.node, timeout_sec=timeout_sec)

@@ -24,7 +24,7 @@ from .bus import LaserScan, MessageBus, Odometry, Pose, Quaternion, Twist
 from .topics import MapServer
 
 
-@partial(jax.jit, static_argnums=(4, 7))
+@partial(jax.jit, static_argnums=(2, 4, 7))
 def lidar_scan(
     occupied,  # (H, W) bool, pgm row order (row 0 = top)
     origin,  # (2,) world meters of the bottom-left map corner

@@ -156,10 +156,17 @@ def make_tracking(
     N = horizon if horizon is not None else params.N
     F = make_step(unicycle.f, "euler", params.dt)  # quirk #3: Euler here
 
+    # Under parity the (inert) cost keeps the reference's inverse-square
+    # barrier form (local_planner_tracking.py:55-63). Corrected mode swaps in
+    # the short-range Gaussian family from the point-stabilization planner
+    # (local_planner_point_stabilization.py:60-67): the barrier's fat 1/r^2
+    # tails summed over a dense wall out-pull the tracking gradient even at
+    # ~1 m and drag the robot off its path — a latent bug the reference never
+    # hits because its obstacle cost is dead code (quirk #1).
+    obstacle_fn = costs.barrier_obstacle_cost if reference_parity else costs.gaussian_obstacle_cost
+
     def obstacle_term(x, theta):
-        # Inverse-square barrier form, gain = cost_factor
-        # (local_planner_tracking.py:55-63); inert under parity (quirk #1).
-        return theta["obstacle_weight"] * costs.barrier_obstacle_cost(
+        return theta["obstacle_weight"] * obstacle_fn(
             x[:2], theta["obs_x"], theta["obs_y"], theta["inflation_radius"], theta["obstacle_gain"]
         )
 
@@ -203,7 +210,12 @@ def make_tracking(
             "Q": jnp.asarray(params.Q, dtype=float),
             "R": jnp.asarray(params.R, dtype=float),
             "reverse_factor": jnp.asarray(params.reverse_factor, dtype=float),
-            "obstacle_gain": jnp.asarray(params.cost_factor, dtype=float),
+            # parity: barrier gain = cost_factor (local_planner_tracking.py:61);
+            # corrected: Gaussian gain = reverse_factor as in the
+            # point-stabilization planner's call site (quirk #2).
+            "obstacle_gain": jnp.asarray(
+                params.cost_factor if reference_parity else params.reverse_factor, dtype=float
+            ),
             "inflation_radius": jnp.asarray(params.inflation_radius, dtype=float),
             "obstacle_weight": jnp.asarray(0.0 if reference_parity else 1.0),
         }

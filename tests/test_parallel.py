@@ -1,0 +1,103 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded bank solves
+must agree with unsharded vmap, metrics must reduce across the mesh, sweeps
+must checkpoint/resume, and the driver's dryrun must pass."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros2_mpc_tpu.config import Params
+from ros2_mpc_tpu.parallel import (
+    SweepSpec,
+    make_bank_solver,
+    make_host_chip_mesh,
+    make_mesh,
+    run_sweep,
+    shard_bank,
+)
+from ros2_mpc_tpu.solver import SolverSettings, make_point_stabilization
+
+PARAMS = Params()
+FAST = SolverSettings(barrier_stages=3, iters_per_stage=3, n_alphas=6)
+
+
+def _problem(horizon=8):
+    return make_point_stabilization(PARAMS, horizon=horizon, settings=FAST)
+
+
+def _bank(problem, B, seed=0):
+    rng = np.random.default_rng(seed)
+    thetas = jax.vmap(problem.make_theta)(
+        jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 3))),
+        jnp.asarray(rng.uniform(-1.0, 1.0, size=(B, 3))),
+    )
+    U0 = jnp.zeros((B,) + problem.default_u0.shape)
+    return thetas, U0
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8, "conftest must force an 8-device CPU mesh"
+
+
+def test_sharded_bank_matches_unsharded():
+    prob = _problem()
+    B = 16
+    thetas, U0 = _bank(prob, B)
+    mesh = make_mesh()
+    step = make_bank_solver(prob, mesh)
+    sols_sharded, metrics = step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    sols_plain = jax.jit(jax.vmap(prob.solve))(thetas, U0)
+    np.testing.assert_allclose(
+        np.asarray(sols_sharded.U), np.asarray(sols_plain.U), atol=1e-5
+    )
+    assert np.isfinite(float(metrics["mean_cost"]))
+    assert 0.0 <= float(metrics["frac_converged"]) <= 1.0
+    # solution actually sharded over the mesh
+    assert len(sols_sharded.U.sharding.device_set) == 8
+
+
+def test_host_chip_mesh_2d():
+    prob = _problem()
+    mesh = make_host_chip_mesh(2, 4)
+    B = 16
+    thetas, U0 = _bank(prob, B, seed=1)
+    step = make_bank_solver(prob, mesh, axis_names=("host", "chip"))
+    sols, metrics = step(
+        shard_bank(thetas, mesh, ("host", "chip")), shard_bank(U0, mesh, ("host", "chip"))
+    )
+    assert sols.U.shape == (B, 8, 2)
+    assert np.isfinite(float(metrics["max_kkt"]))
+
+
+def test_sweep_checkpoint_resume(tmp_path):
+    prob = _problem(horizon=5)
+    spec = SweepSpec(q_scales=(0.5, 1.0), r_scales=(1.0,), scenarios_per_config=8, seed=2)
+    ck = str(tmp_path / "sweep.npz")
+    out1 = run_sweep(prob, spec, mesh=make_mesh(), checkpoint_path=ck, chunk_size=8)
+    assert out1["mean_goal_error"].shape == (2,)
+    # resume: all chunks cached, result identical
+    out2 = run_sweep(prob, spec, mesh=make_mesh(), checkpoint_path=ck, chunk_size=8)
+    np.testing.assert_allclose(out1["mean_goal_error"], out2["mean_goal_error"])
+    assert tuple(out1["best_config"]) in {(0.5, 1.0), (1.0, 1.0)}
+
+
+def test_graft_dryrun_multichip():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    sol = compiled(*args)
+    assert np.all(np.isfinite(np.asarray(sol.U)))
