@@ -7,6 +7,7 @@ from .mesh import (
     shard_bank,
 )
 from .sweep import SweepSpec, build_sweep_thetas, run_sweep
+from . import distributed
 
 __all__ = [
     "SCENARIO_AXIS",
@@ -18,4 +19,5 @@ __all__ = [
     "SweepSpec",
     "build_sweep_thetas",
     "run_sweep",
+    "distributed",
 ]

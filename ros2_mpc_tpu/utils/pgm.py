@@ -33,10 +33,10 @@ def read_pgm(path: str) -> np.ndarray:
             tokens.append(data[i:j])
             i = j
     magic, w, h, maxval = tokens[0].decode(), int(tokens[1]), int(tokens[2]), int(tokens[3])
-    dtype = np.uint8 if maxval < 256 else np.dtype(">u2")
+    dtype = np.dtype(np.uint8) if maxval < 256 else np.dtype(">u2")
     if magic == "P5":
         i += 1  # single whitespace after maxval
-        img = np.frombuffer(data[i : i + w * h * dtype.itemsize if hasattr(dtype, "itemsize") else None], dtype=dtype, count=w * h)
+        img = np.frombuffer(data[i : i + w * h * dtype.itemsize], dtype=dtype, count=w * h)
     elif magic == "P2":
         img = np.array(data[i:].split()[: w * h], dtype=int).astype(dtype)
     else:
