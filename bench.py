@@ -28,6 +28,7 @@ def main():
 
     from ros2_mpc_tpu.config import Params
     from ros2_mpc_tpu.solver import make_point_stabilization
+    from ros2_mpc_tpu.solver.batched import make_bank_solver_fast
 
     params = Params()
     prob = make_point_stabilization(params, horizon=N_HORIZON)
@@ -41,7 +42,9 @@ def main():
     thetas = jax.vmap(prob.make_theta)(jnp.asarray(x0), jnp.asarray(goal))
     U0 = jnp.zeros((BATCH, N_HORIZON, 2))
 
-    solve = jax.jit(jax.vmap(prob.solve))
+    # Lane-aligned bank engine (solver/batched.py): scenario batch on the
+    # minor (B/128, 128) dims for full VPU tiling.
+    solve = jax.jit(make_bank_solver_fast(prob.ocp, prob.settings))
 
     # Warmup / compile
     sols = solve(thetas, U0)
@@ -61,10 +64,24 @@ def main():
     solves_per_s = BATCH / best
     frac_conv = float(jnp.mean(sols.converged.astype(jnp.float32)))
 
+    # Real-time tick latency: one solve alone on the chip (BASELINE budget
+    # 0.2 s/tick) — p50/p99 over repeated single-scenario solves.
+    single = jax.jit(jax.vmap(prob.solve))
+    theta1 = jax.tree_util.tree_map(lambda l: l[:1], thetas)
+    jax.block_until_ready(single(theta1, U0[:1]))
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(single(theta1, U0[:1]))
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+
     print(
         f"batch={BATCH} N={N_HORIZON} t_batch(best)={best*1e3:.2f} ms "
         f"p50={np.median(times)*1e3:.2f} ms per-solve={best/BATCH*1e6:.2f} us "
-        f"converged={frac_conv*100:.1f}% device={jax.devices()[0].device_kind}",
+        f"converged={frac_conv*100:.1f}% device={jax.devices()[0].device_kind} "
+        f"tick_latency_p50={np.percentile(lat,50)*1e3:.2f}ms "
+        f"p99={np.percentile(lat,99)*1e3:.2f}ms (budget 200ms)",
         file=sys.stderr,
     )
 

@@ -58,13 +58,17 @@ def bank_metrics(sols) -> dict:
     }
 
 
-def make_bank_solver(problem, mesh: Mesh, axis_names=None):
+def make_bank_solver(problem, mesh: Mesh, axis_names=None, engine: str = "vmap"):
     """Jit a scenario-bank solve sharded over ``mesh``.
 
     Returns ``step(thetas, U0s) -> (Solution batch, metrics)`` where every
     leaf of ``thetas``/``U0s`` has a leading scenario axis divisible by the
     mesh size. Solutions stay sharded (device-resident for the next
     warm-started tick); metrics are replicated scalars.
+
+    ``engine='fast'`` uses the lane-aligned bank engine
+    (solver/batched.py) — the production path on TPU; ``'vmap'`` the
+    reference engine.
     """
     if axis_names is None:
         axis_names = tuple(mesh.axis_names)
@@ -72,7 +76,12 @@ def make_bank_solver(problem, mesh: Mesh, axis_names=None):
     shard = NamedSharding(mesh, batch_spec)
     replicate = NamedSharding(mesh, P())
 
-    batched = jax.vmap(problem.solve)
+    if engine == "fast":
+        from ..solver.batched import make_bank_solver_fast
+
+        batched = make_bank_solver_fast(problem.ocp, problem.settings)
+    else:
+        batched = jax.vmap(problem.solve)
 
     def _step(thetas, U0s):
         sols = batched(thetas, U0s)
