@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from ..config import Params
-from ..solver import make_tracking, shift_controls
+from ..solver import SolverSettings, make_tracking, shift_controls
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
 from .reference_gen import (
@@ -40,6 +40,7 @@ class PathFollowerNode:
         params: Params = Params(),
         reference_parity: bool = False,
         horizon: int | None = None,
+        settings: SolverSettings | None = None,
     ):
         self.params = params
         self.reference_parity = reference_parity
@@ -48,7 +49,14 @@ class PathFollowerNode:
         self.cmd_vel_publisher = CmdVelPublisher(bus)
         self.goal_listener = GoalSubscriber(bus)
         self.laser_node = LaserSubscriber(bus)
-        self.problem = make_tracking(params, reference_parity=reference_parity, horizon=horizon)
+        if settings is None:
+            # warm-started ticks converge on the short RTI-style schedule;
+            # parity mode re-zeroes the guess each tick (quirk #3) and keeps
+            # the full cold-start schedule
+            settings = SolverSettings() if reference_parity else SolverSettings.realtime()
+        self.problem = make_tracking(
+            params, reference_parity=reference_parity, horizon=horizon, settings=settings
+        )
         self.N = self.problem.ocp.horizon
         self._solve = jax.jit(self.problem.solve)
         self.u_warm = self.problem.default_u0

@@ -10,7 +10,7 @@ import jax
 import numpy as np
 
 from ..config import Params
-from ..solver import make_point_stabilization, shift_controls
+from ..solver import SolverSettings, make_point_stabilization, shift_controls
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
 from .reference_gen import (
@@ -36,6 +36,7 @@ class PointFollowerNode:
         params: Params = Params(),
         reference_parity: bool = False,
         horizon: int | None = None,
+        settings: SolverSettings | None = None,
     ):
         self.params = params
         self.reference_parity = reference_parity
@@ -45,8 +46,10 @@ class PointFollowerNode:
         self.goal_listener = GoalSubscriber(bus)
         self.laser_node = LaserSubscriber(bus)
         self.goal_point_publisher = GoalPointPublisher(bus)
+        if settings is None:
+            settings = SolverSettings() if reference_parity else SolverSettings.realtime()
         self.problem = make_point_stabilization(
-            params, reference_parity=reference_parity, horizon=horizon
+            params, reference_parity=reference_parity, horizon=horizon, settings=settings
         )
         self.N = self.problem.ocp.horizon
         self._solve = jax.jit(self.problem.solve)
