@@ -1,0 +1,61 @@
+"""Whole-solver Pallas kernel vs the XLA engines (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ros2_mpc_tpu.config import Params
+from ros2_mpc_tpu.solver import SolverSettings, make_point_stabilization
+from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_point_stab_solver
+
+PARAMS = Params()
+N = 10
+FAST = SolverSettings(barrier_stages=4, iters_per_stage=3, n_alphas=6)
+
+
+def _bank(prob, B, seed=0, with_obstacles=False):
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 3)))
+    goals = jnp.asarray(rng.uniform(-1.2, 1.2, size=(B, 3)))
+    if with_obstacles:
+        n_obs = PARAMS.n_obstacle_points
+        ox = np.full((B, n_obs), 100.0)
+        oy = np.full((B, n_obs), 100.0)
+        ox[:, 0] = rng.uniform(0.3, 0.7, size=B)
+        oy[:, 0] = rng.uniform(-0.2, 0.2, size=B)
+        thetas = jax.vmap(prob.make_theta)(x0s, goals, jnp.asarray(ox), jnp.asarray(oy))
+    else:
+        thetas = jax.vmap(prob.make_theta)(x0s, goals)
+    return thetas, jnp.zeros((B, N, 2))
+
+
+def test_pallas_kernel_matches_reference_engine():
+    prob = make_point_stabilization(PARAMS, horizon=N, settings=FAST)
+    B = 16
+    thetas, U0 = _bank(prob, B)
+    ref = jax.jit(jax.vmap(prob.solve))(thetas, U0)
+    solve_pl = make_pallas_point_stab_solver(
+        prob.ocp, FAST, interpret=True, tile_s=2, tile_l=8
+    )
+    got = solve_pl(thetas, U0)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.X), np.asarray(ref.X), atol=1e-4)
+    # KKT residual should certify the same convergence picture
+    assert np.mean(np.asarray(got.converged)) >= np.mean(np.asarray(ref.converged)) - 0.2
+
+
+def test_pallas_kernel_with_active_obstacles():
+    """Corrected-mode point stabilization (live Gaussian obstacle cost)."""
+    prob = make_point_stabilization(
+        PARAMS, horizon=N, settings=FAST, reference_parity=False
+    )
+    B = 16
+    thetas, U0 = _bank(prob, B, seed=1, with_obstacles=True)
+    ref = jax.jit(jax.vmap(prob.solve))(thetas, U0)
+    solve_pl = make_pallas_point_stab_solver(
+        prob.ocp, FAST, interpret=True, tile_s=2, tile_l=8
+    )
+    got = solve_pl(thetas, U0)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-3)
