@@ -22,8 +22,42 @@ N_HORIZON = 20
 BATCH = 4096  # BASELINE.json config 4: 4096-scenario bank per chip
 
 
+def _ensure_backend(max_attempts: int = 10):
+    """The tunneled axon TPU backend intermittently fails to register at
+    interpreter startup (relay handshake timeout under CPU contention). A
+    failed registration is unrecoverable in-process, so re-exec this script
+    after a cool-down instead of reporting a bogus benchmark failure."""
+    import os
+
+    attempt = int(os.environ.get("BENCH_BACKEND_ATTEMPT", "0"))
+    try:
+        import jax
+
+        jax.devices()
+        return
+    except RuntimeError as e:
+        if attempt >= max_attempts:
+            raise
+        print(f"backend init failed ({e}); retry {attempt + 1}", file=sys.stderr)
+        time.sleep(45)
+        os.environ["BENCH_BACKEND_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    _ensure_backend()
+    import os
+
     import jax
+
+    # Persistent compile cache: repeated bench runs skip the multi-minute
+    # remote compile of the bank program.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu_mpc")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from ros2_mpc_tpu.config import Params
@@ -42,13 +76,22 @@ def main():
     thetas = jax.vmap(prob.make_theta)(jnp.asarray(x0), jnp.asarray(goal))
     U0 = jnp.zeros((BATCH, N_HORIZON, 2))
 
-    # Lane-aligned bank engine (solver/batched.py): scenario batch on the
-    # minor (B/128, 128) dims for full VPU tiling.
-    solve = jax.jit(make_bank_solver_fast(prob.ocp, prob.settings))
+    # Fastest engine first: the whole-solver Pallas kernel (everything in
+    # VMEM per scenario tile); fall back to the lane-aligned XLA bank engine
+    # if the kernel fails to compile on this backend.
+    engine = "pallas"
+    try:
+        from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_point_stab_solver
 
-    # Warmup / compile
-    sols = solve(thetas, U0)
-    jax.block_until_ready(sols)
+        solve = jax.jit(make_pallas_point_stab_solver(prob.ocp, prob.settings))
+        sols = solve(thetas, U0)
+        jax.block_until_ready(sols)
+    except Exception as e:  # noqa: BLE001
+        print(f"pallas engine unavailable ({type(e).__name__}); using XLA bank", file=sys.stderr)
+        engine = "xla_bank"
+        solve = jax.jit(make_bank_solver_fast(prob.ocp, prob.settings))
+        sols = solve(thetas, U0)
+        jax.block_until_ready(sols)
 
     # Timed runs
     reps = 5
@@ -77,7 +120,7 @@ def main():
     lat = np.asarray(lat)
 
     print(
-        f"batch={BATCH} N={N_HORIZON} t_batch(best)={best*1e3:.2f} ms "
+        f"engine={engine} batch={BATCH} N={N_HORIZON} t_batch(best)={best*1e3:.2f} ms "
         f"p50={np.median(times)*1e3:.2f} ms per-solve={best/BATCH*1e6:.2f} us "
         f"converged={frac_conv*100:.1f}% device={jax.devices()[0].device_kind} "
         f"tick_latency_p50={np.percentile(lat,50)*1e3:.2f}ms "

@@ -113,3 +113,23 @@ def run_sweep(
         "mean_goal_error": err_all.mean(axis=1),
         "best_config": cfg[int(np.argmin(err_all.mean(axis=1)))],
     }
+
+
+def main():
+    """Console entry: run the default tuning sweep and print the table
+    (BASELINE.json config 5 scaled to the available mesh)."""
+    from ..config import Params
+    from ..solver import make_point_stabilization
+
+    params = Params()
+    prob = make_point_stabilization(params, horizon=20)
+    spec = SweepSpec()
+    out = run_sweep(prob, spec, params=params)
+    print(f"{'Q scale':>8} {'R scale':>8} {'mean goal err [m]':>18}")
+    for (q, r), e in zip(out["configs"], out["mean_goal_error"]):
+        print(f"{q:8.2f} {r:8.2f} {e:18.4f}")
+    print("best config (Q, R scales):", tuple(out["best_config"]))
+
+
+if __name__ == "__main__":
+    main()

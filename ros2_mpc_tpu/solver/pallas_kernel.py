@@ -327,7 +327,10 @@ def make_pallas_point_stab_solver(
             (_, _, _, _, _, _, _, _, _, dV1, dV2) = jax.lax.fori_loop(0, N, bwd, init)
 
             # ---- line search: alphas descending, per-scenario first-accept ----
-            accepted = jnp.zeros_like(px0, dtype=jnp.bool_)
+            # `accepted` is a float mask (1.0 = accepted): carrying i1 vectors
+            # through scf loops trips a Mosaic layout bug (vector<8x128x32xi1>
+            # vpad masks) on TPU.
+            accepted = jnp.zeros_like(px0)
 
             def try_alpha(J, accepted, alpha):
                 # candidate rollout with feedback, cost into acc; stash U in
@@ -348,7 +351,7 @@ def make_pallas_point_stab_solver(
                     v, w = clip_interior(v, w)
                     acc = acc + stage_cost(px, py, th, v, w, mu)
                     # store candidate where not yet accepted (cheap: overwrite)
-                    take = jnp.logical_not(accepted)
+                    take = accepted < 0.5
                     Ubest_scr[k, 0] = jnp.where(take, v, Ubest_scr[k, 0])
                     Ubest_scr[k, 1] = jnp.where(take, w, Ubest_scr[k, 1])
                     nx, ny, nth = F(px, py, th, v, w)
@@ -358,33 +361,42 @@ def make_pallas_point_stab_solver(
                 expected = -(alpha * dV1 + alpha * alpha * dV2)
                 Jc = jnp.where(jnp.isnan(Jc), jnp.inf, Jc)
                 ok = Jc <= J - c1 * jnp.maximum(expected, 0.0)
-                newly = jnp.logical_and(ok, jnp.logical_not(accepted))
+                newly = jnp.where(jnp.logical_and(ok, accepted < 0.5), 1.0, 0.0)
 
                 # freeze Ubest where newly accepted; where not newly accepted,
                 # restore previous content (either older accept or U)
                 def freeze(k, _):
-                    keep = jnp.logical_or(accepted, newly)
+                    keep = (accepted + newly) > 0.5
                     Ubest_scr[k, 0] = jnp.where(keep, Ubest_scr[k, 0], U_scr[k, 0])
                     Ubest_scr[k, 1] = jnp.where(keep, Ubest_scr[k, 1], U_scr[k, 1])
                     return 0
 
                 jax.lax.fori_loop(0, N, freeze, 0)
-                return jnp.logical_or(accepted, newly)
+                return jnp.maximum(accepted, newly)
 
             # NOTE: try_alpha overwrites Ubest rows where "not accepted", so
             # once a scenario accepts, later (smaller) alphas must not clobber
             # its stored candidate — handled by the `take`/`freeze` masks.
-            for a in alphas:
-                accepted = try_alpha(J, accepted, a)
+            # fori (not Python-unrolled) keeps the Mosaic program size small:
+            # an unrolled 6x copy of the candidate rollout made remote compile
+            # time explode.
+            def alpha_step(a, accepted):
+                # 0.5**a via exp (math.powf does not legalize in Mosaic)
+                alpha = jnp.exp(-0.6931471805599453 * a.astype(jnp.float32))
+                return try_alpha(J, accepted, alpha)
+
+            accepted = jax.lax.fori_loop(0, settings.n_alphas, alpha_step, accepted)
+
+            acc_mask = accepted > 0.5
 
             def commit(k, _):
-                U_scr[k, 0] = jnp.where(accepted, Ubest_scr[k, 0], U_scr[k, 0])
-                U_scr[k, 1] = jnp.where(accepted, Ubest_scr[k, 1], U_scr[k, 1])
+                U_scr[k, 0] = jnp.where(acc_mask, Ubest_scr[k, 0], U_scr[k, 0])
+                U_scr[k, 1] = jnp.where(acc_mask, Ubest_scr[k, 1], U_scr[k, 1])
                 return 0
 
             jax.lax.fori_loop(0, N, commit, 0)
             reg = jnp.where(
-                accepted,
+                acc_mask,
                 jnp.maximum(reg * 0.5, settings.reg_min),
                 jnp.minimum(reg * 10.0 + settings.reg_min, settings.reg_max),
             )

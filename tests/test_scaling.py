@@ -1,0 +1,53 @@
+"""Scaling-path tests: long horizons (the sequence axis), the scaling
+benchmark harness, and the sweep CLI table."""
+
+import numpy as np
+
+from ros2_mpc_tpu.config import Params
+from ros2_mpc_tpu.parallel import scaling_bench
+from ros2_mpc_tpu.solver import SolverSettings, make_tracking
+
+PARAMS = Params()
+
+
+def test_long_horizon_tracking_N256():
+    """The reference unrolls N symbolic shooting constraints and cannot scale
+    its horizon (SURVEY.md §5); the lax.scan formulation compiles O(1) in N.
+    N=256 (51 s lookahead) must solve and track."""
+    import jax
+    import jax.numpy as jnp
+
+    N = 256
+    settings = SolverSettings(barrier_stages=4, iters_per_stage=3, n_alphas=6)
+    prob = make_tracking(PARAMS, horizon=N, settings=settings)
+    ts = np.arange(1, N + 1) * PARAMS.dt
+    x_ref = np.stack([0.15 * ts, np.zeros(N), np.zeros(N)], axis=1)
+    u_ref = np.tile([0.15, 0.0], (N, 1))
+    theta = prob.make_theta(np.array([0.0, 0.0, 0.0]), x_ref, u_ref)
+    sol = jax.jit(prob.solve)(theta, prob.default_u0)
+    U = np.asarray(sol.U)
+    assert np.all(np.isfinite(U))
+    # cruises at the (bounded) reference velocity through the horizon interior
+    assert np.all(U[5:-5, 0] > 0.12)
+    # terminal state roughly at the end of the reference line
+    assert abs(float(sol.X[-1, 0]) - 0.15 * N * PARAMS.dt) < 1.5
+
+
+def test_scaling_bench_harness():
+    out = scaling_bench.run(per_device_batch=16, horizon=6, reps=2)
+    assert out["devices"] == 8
+    assert out["solves_per_s_1dev"] > 0
+    assert out["solves_per_s_ndev"] > 0
+    assert 0.0 < out["scaling_efficiency"] <= 1.5  # CPU mesh: harness sanity
+
+
+def test_sweep_cli_prints_table(capsys):
+    from ros2_mpc_tpu.parallel.sweep import SweepSpec, run_sweep
+    from ros2_mpc_tpu.solver import make_point_stabilization
+
+    prob = make_point_stabilization(
+        PARAMS, horizon=5, settings=SolverSettings(barrier_stages=2, iters_per_stage=2, n_alphas=4)
+    )
+    out = run_sweep(prob, SweepSpec(q_scales=(1.0,), r_scales=(0.5, 1.0), scenarios_per_config=8))
+    assert out["mean_goal_error"].shape == (2,)
+    assert np.all(np.isfinite(out["mean_goal_error"]))
