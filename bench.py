@@ -108,10 +108,15 @@ def main():
     frac_conv = float(jnp.mean(sols.converged.astype(jnp.float32)))
 
     # Real-time tick latency: one solve alone on the chip (BASELINE budget
-    # 0.2 s/tick) — p50/p99 over repeated single-scenario solves.
+    # 0.2 s/tick). Cold: zero warm start, full schedule. Warm: the production
+    # tick path — shifted previous solution + realtime schedule
+    # (SolverSettings.realtime, as the follower nodes run).
+    from ros2_mpc_tpu.solver import SolverSettings, make_point_stabilization as _mk, shift_controls
+
     single = jax.jit(jax.vmap(prob.solve))
     theta1 = jax.tree_util.tree_map(lambda l: l[:1], thetas)
-    jax.block_until_ready(single(theta1, U0[:1]))
+    sol1 = single(theta1, U0[:1])
+    jax.block_until_ready(sol1)
     lat = []
     for _ in range(30):
         t0 = time.perf_counter()
@@ -119,12 +124,25 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat)
 
+    prob_rt = _mk(params, horizon=N_HORIZON, settings=SolverSettings.realtime())
+    single_rt = jax.jit(jax.vmap(prob_rt.solve))
+    U_warm = jax.vmap(shift_controls)(sol1.U)
+    jax.block_until_ready(single_rt(theta1, U_warm))
+    lat_w = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(single_rt(theta1, U_warm))
+        lat_w.append(time.perf_counter() - t0)
+    lat_w = np.asarray(lat_w)
+
     print(
         f"engine={engine} batch={BATCH} N={N_HORIZON} t_batch(best)={best*1e3:.2f} ms "
         f"p50={np.median(times)*1e3:.2f} ms per-solve={best/BATCH*1e6:.2f} us "
         f"converged={frac_conv*100:.1f}% device={jax.devices()[0].device_kind} "
-        f"tick_latency_p50={np.percentile(lat,50)*1e3:.2f}ms "
-        f"p99={np.percentile(lat,99)*1e3:.2f}ms (budget 200ms)",
+        f"tick_latency_cold_p50={np.percentile(lat,50)*1e3:.2f}ms "
+        f"p99={np.percentile(lat,99)*1e3:.2f}ms "
+        f"warm_p50={np.percentile(lat_w,50)*1e3:.2f}ms "
+        f"warm_p99={np.percentile(lat_w,99)*1e3:.2f}ms (budget 200ms)",
         file=sys.stderr,
     )
 

@@ -6,7 +6,7 @@ reference's *negated* translation, quirk #7)."""
 
 from __future__ import annotations
 
-from .bus import MessageBus, Odometry, Pose, Quaternion, Transform, Twist
+from .bus import MessageBus, Odometry, Pose, Transform
 
 
 class RobotStatePublisherNode:

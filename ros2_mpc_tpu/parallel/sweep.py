@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mesh import bank_metrics, make_mesh, shard_bank
+from .mesh import make_mesh, shard_bank
 
 
 @dataclasses.dataclass(frozen=True)

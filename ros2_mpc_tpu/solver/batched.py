@@ -24,8 +24,6 @@ continuation interior-point iLQR) — tests assert the two engines agree.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

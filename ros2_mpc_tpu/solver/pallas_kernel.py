@@ -33,9 +33,6 @@ and therefore the IPOPT-class oracle within the BASELINE tolerance.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -38,14 +38,13 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..config import Params
 from ..models import unicycle
 from ..ops import costs
 from ..ops.integrators import make_step
-from .ilqr import OCP, Solution, SolverSettings, make_solver
+from .ilqr import OCP, SolverSettings, make_solver
 
 
 class Problem(NamedTuple):
