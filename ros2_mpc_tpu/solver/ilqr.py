@@ -76,6 +76,10 @@ class SolverSettings:
     armijo_c1: float = 1e-4
     interior_clip: float = 1e-7  # fraction of (hi-lo) kept as strict slack
     kkt_tol: float = 1e-4
+    # Route the inner Riccati sweep through the O(log N)-depth associative
+    # scan (solver/parallel_riccati.py) — the sequence-parallel path for long
+    # horizons; the sequential sweep is faster at the reference's N ~ 30.
+    horizon_parallel: bool = False
 
     @property
     def total_iters(self) -> int:
@@ -223,6 +227,33 @@ def make_solver(ocp: OCP, settings: SolverSettings = SolverSettings()):
         )
         return kffs, Ks, dV1, dV2, qu_max
 
+    def backward_pass_parallel(X, U, theta, mu, reg):
+        """Same sweep via the O(log N) associative-scan LQR
+        (settings.horizon_parallel); regularization lands on l_uu."""
+        from .parallel_riccati import LQRProblem, lqr_backward_parallel
+
+        A, B, lx, lu, lxx, lux, luu = jax.vmap(
+            lambda x, u, k: stage_derivs(x, u, k, theta, mu)
+        )(X[:-1], U, ks)
+        luu_reg = luu + reg * jnp.eye(m)[None]
+        P_N = jax.hessian(lambda x: ocp.terminal_cost(x, theta))(X[-1])
+        p_N = jax.grad(lambda x: ocp.terminal_cost(x, theta))(X[-1])
+        gains = lqr_backward_parallel(
+            LQRProblem(A=A, B=B, lxx=lxx, lux=lux, luu=luu_reg, lx=lx, lu=lu, P_N=P_N, p_N=p_N)
+        )
+        # parallel module convention: du = -K dx - kff; this solver applies
+        # u + alpha*kff + K dx, so negate both.
+        kffs = -gains.kff
+        Ks = -gains.K
+
+        def stage_terms(B_k, lu_k, luu_k, P1, p1, kff):
+            Qu = lu_k + B_k.T @ p1
+            Quu = luu_k + B_k.T @ P1 @ B_k
+            return kff @ Qu, 0.5 * kff @ Quu @ kff
+
+        d1, d2 = jax.vmap(stage_terms)(B, lu, luu_reg, gains.P[1:], gains.p[1:], kffs)
+        return kffs, Ks, jnp.sum(d1), jnp.sum(d2), jnp.max(jnp.abs(lu))
+
     def feedback_rollout(U, X_old, kffs, Ks, alpha, theta, mu):
         """Closed-loop candidate rollout at step size alpha, clipped into the
         strict interior so the barrier stays finite."""
@@ -247,7 +278,8 @@ def make_solver(ocp: OCP, settings: SolverSettings = SolverSettings()):
         def iteration(carry, mu):
             U, reg = carry
             X, J = rollout_and_cost(U, theta, mu)
-            kffs, Ks, dV1, dV2, _ = backward_pass(X, U, theta, mu, reg)
+            bwd = backward_pass_parallel if settings.horizon_parallel else backward_pass
+            kffs, Ks, dV1, dV2, _ = bwd(X, U, theta, mu, reg)
 
             U_cands, J_cands = jax.vmap(
                 lambda a: feedback_rollout(U, X, kffs, Ks, a, theta, mu)

@@ -79,3 +79,25 @@ def test_policies_minimize_the_qp():
     for _ in range(5):
         J_pert = float(cost_of(du_opt + 0.01 * rng.standard_normal(du_opt.shape)))
         assert J_opt <= J_pert + 1e-6
+
+
+def test_solver_with_horizon_parallel_backward():
+    """settings.horizon_parallel routes the inner sweep through the
+    associative scan; solutions must match the sequential solver."""
+    from ros2_mpc_tpu.config import Params
+    from ros2_mpc_tpu.solver import SolverSettings, make_point_stabilization
+
+    P = Params()
+    N = 16
+    seq_prob = make_point_stabilization(
+        P, horizon=N, settings=SolverSettings(barrier_stages=4, iters_per_stage=3, n_alphas=6)
+    )
+    par_prob = make_point_stabilization(
+        P, horizon=N,
+        settings=SolverSettings(barrier_stages=4, iters_per_stage=3, n_alphas=6, horizon_parallel=True),
+    )
+    theta = seq_prob.make_theta(np.array([0.0, 0.0, 0.0]), np.array([1.0, 0.8, 0.5]))
+    s1 = jax.jit(seq_prob.solve)(theta, seq_prob.default_u0)
+    s2 = jax.jit(par_prob.solve)(theta, par_prob.default_u0)
+    np.testing.assert_allclose(np.asarray(s2.U), np.asarray(s1.U), atol=5e-4)
+    np.testing.assert_allclose(float(s2.cost), float(s1.cost), rtol=1e-4)
