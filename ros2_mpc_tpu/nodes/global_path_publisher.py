@@ -17,21 +17,58 @@ from ..ops import costmap as costmapops
 from ..ops import grid as gridops
 from ..planner import AStarPlanner2
 from .bus import MessageBus
-from .reference_gen import get_path_headings
-from .topics import GoalSubscriber, MapSubscriber, OdomSubscriber, PathPublisher
+from .reference_gen import get_path_headings, scan_to_world_obstacles
+from .topics import GoalSubscriber, LaserSubscriber, MapSubscriber, OdomSubscriber, PathPublisher
 
 log = logging.getLogger("global_path_publisher")
 
 
 class GlobalPathPublisherNode:
-    def __init__(self, bus: MessageBus, params: Params = Params()):
+    """``use_scan_obstacles=True`` (the corrected default) merges live lidar
+    returns into the planning map before A*, so unmapped obstacles re-route
+    the global plan. The reference computes a merged global costmap
+    (core/global_costmap_publisher.py) but nothing ever consumes it — its
+    planner sees only the static map and its MPC obstacle cost is dead, so
+    an unmapped obstacle is simply hit. ``False`` restores that behavior."""
+
+    def __init__(self, bus: MessageBus, params: Params = Params(), use_scan_obstacles: bool = True):
         self.params = params
         self.path_publisher = PathPublisher(bus)
         self.map_node = MapSubscriber(bus)
         self.odom_node = OdomSubscriber(bus)
         self.goal_listener = GoalSubscriber(bus)
+        self.laser_node = LaserSubscriber(bus)
+        self.use_scan_obstacles = use_scan_obstacles
         self.planner = AStarPlanner2()
         self.path_last = None
+
+    def _stamp_scan_obstacles(self, map_image, map_info, pos, ori):
+        """Mark lidar returns (world frame) as occupied cells, with a small
+        square inflation so A* keeps clearance."""
+        scan, angles = self.laser_node.get_scan()
+        if scan is None or ori is None:
+            return map_image
+        ox, oy = scan_to_world_obstacles(
+            scan, angles, self.params.costmap_size, pos, ori[2], self.params.n_obstacle_points
+        )
+        real = (np.abs(ox) < 50) & (np.abs(oy) < 50)
+        if not np.any(real):
+            return map_image
+        res = map_info["resolution"]
+        H = map_image.shape[0]
+        col = ((ox[real] - map_info["origin"][0]) / res).astype(int)
+        row = H - ((oy[real] - map_info["origin"][1]) / res).astype(int)
+        # Inflate to the MPC's *effective* repulsion radius (~2x the Gaussian
+        # inflation_radius): corridors narrower than what the soft costs will
+        # let the robot traverse must not be planned through.
+        r_inf = max(1, int(2.0 * self.params.inflation_radius / res))
+        out = map_image.copy()
+        for dr in range(-r_inf, r_inf + 1):
+            for dc in range(-r_inf, r_inf + 1):
+                rr = np.clip(row + dr, 0, H - 1)
+                cc = np.clip(col + dc, 0, map_image.shape[1] - 1)
+                out[rr, cc] = 255
+        return out
 
     def tick(self) -> dict:
         p = self.params
@@ -48,6 +85,8 @@ class GlobalPathPublisherNode:
         map_image = np.asarray(
             costmapops.erode_image(jnp.asarray(map_image.astype(np.float32)), p.map_dilation_kernel)
         )
+        if self.use_scan_obstacles:
+            map_image = self._stamp_scan_obstacles(map_image, map_info, pos, self.odom_node.orientation)
         robot_on_map = np.asarray(
             gridops.world_to_map(pos[0], pos[1], map_image.shape, map_info["origin"], map_info["resolution"])
         )

@@ -82,17 +82,28 @@ def build_sim_stack(
     start_pose=(0.0, 0.0, 0.0),
     horizon: Optional[int] = None,
     reference_parity: bool = False,
+    planner_map_image: Optional[np.ndarray] = None,
 ) -> SimStack:
     """Assemble the nav-config node graph (launch_all_nav.launch.py) against
-    the in-process simulator."""
+    the in-process simulator.
+
+    ``planner_map_image`` lets the map server publish a different (e.g.
+    stale) map than the simulated world — unmapped obstacles are then visible
+    only through the lidar, exercising the MPC's live obstacle costs."""
     bus = MessageBus()
     if map_image is None:
         map_image = pgm.synthetic_indoor_map()
         map_info = dict(pgm.DEFAULT_MAP_INFO)
     sim = Simulator(bus, map_image, map_info, start_pose=start_pose, params=params)
-    map_server = MapServerNode(bus, map_image=map_image, map_info=map_info)
+    map_server = MapServerNode(
+        bus,
+        map_image=planner_map_image if planner_map_image is not None else map_image,
+        map_info=map_info,
+    )
     transform_publisher = TransformPublisherNode(bus)
-    global_planner = GlobalPathPublisherNode(bus, params)
+    global_planner = GlobalPathPublisherNode(
+        bus, params, use_scan_obstacles=not reference_parity
+    )
     if follower == "tracking":
         ctrl = PathFollowerNode(bus, params, horizon=horizon, reference_parity=reference_parity)
     else:

@@ -84,3 +84,43 @@ def test_failed_solve_degrades_gracefully():
         stack.follower.tick()
     except Exception as e:  # noqa: BLE001
         pytest.fail(f"follower raised on pathological input: {e}")
+
+
+@pytest.mark.slow
+def test_unmapped_obstacle_corrected_vs_parity():
+    """An obstacle visible only to the lidar (not in the planner's static
+    map). Corrected mode re-routes the global plan from scan returns and
+    keeps MPC soft costs live: the robot detours and reaches the goal.
+    Parity mode reproduces the reference's behavior — planner blind to the
+    scan, obstacle costs dead code — and drives straight into it."""
+    world = pgm.synthetic_indoor_map()
+    clean = world.copy()
+    world[143:147, 123:127] = 0  # pillar at world (0, -1), on the straight line
+
+    def run(parity):
+        stack = build_sim_stack(
+            follower="point", start_pose=(-1.0, -1.0, 0.0), horizon=20,
+            map_image=world, map_info=dict(pgm.DEFAULT_MAP_INFO),
+            planner_map_image=clean, reference_parity=parity,
+        )
+        stack.publish_goal(1.0, -1.0)
+        collided = reached = False
+        min_clear = np.inf
+        for _ in range(400):
+            o = stack.tick()
+            p = o["pose"]
+            min_clear = min(min_clear, float(np.hypot(p[0], p[1] + 1.0)))
+            if stack.sim.in_collision():
+                collided = True
+                break
+            if o["control"].get("status") == "goal_reached":
+                reached = True
+                break
+        return reached, collided, min_clear
+
+    reached_c, collided_c, clear_c = run(parity=False)
+    assert reached_c and not collided_c, f"corrected: reached={reached_c} collided={collided_c}"
+    assert clear_c > 0.3, f"clearance {clear_c:.2f} m too small"
+
+    reached_p, collided_p, _ = run(parity=True)
+    assert collided_p and not reached_p  # the reference's faithful outcome
