@@ -9,7 +9,13 @@ Differences from the reference, all deliberate:
   restores zeros;
 * a failed solve degrades to the previous control instead of raising
   (the reference crashes the node, local_planner_tracking.py:74);
-* per-tick telemetry (solve latency, KKT residual, iterations) is recorded.
+* per-tick telemetry (solve latency, KKT residual, iterations) is recorded;
+* corrected mode hands off to a point-stabilization solve inside the goal
+  handoff radius: the tracking cost (reverse penalty + 1 m minimum turn
+  radius) prefers *orbiting* a goal it reaches misaligned over stopping —
+  the reference dodges this by only ever launching its point follower
+  (launch/launch_all.launch.py:12-18); the handoff fixes the tracking
+  follower itself.
 """
 
 from __future__ import annotations
@@ -20,7 +26,12 @@ import jax
 import numpy as np
 
 from ..config import Params
-from ..solver import SolverSettings, make_tracking, shift_controls
+from ..solver import (
+    SolverSettings,
+    make_point_stabilization,
+    make_tracking,
+    shift_controls,
+)
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
 from .reference_gen import (
@@ -59,6 +70,16 @@ class PathFollowerNode:
         )
         self.N = self.problem.ocp.horizon
         self._solve = jax.jit(self.problem.solve)
+        # Goal-approach handoff problem (corrected mode): see module docstring.
+        # Doubled horizon so a full low-omega turn fits inside the plan.
+        self.handoff_radius = 0.0 if reference_parity else 2.0 * params.look_ahead_distance
+        self._point_problem = make_point_stabilization(
+            params, reference_parity=reference_parity, horizon=2 * self.N, settings=settings
+        )
+        self._point_solve = jax.jit(self._point_problem.solve)
+        # quirk #9: the reference hardcodes a 0.15 m latch, ignoring its own
+        # goal_threshold param (0.2); corrected mode honors the param.
+        self.goal_radius = params.tracking_goal_radius if reference_parity else params.goal_threshold
         self.u_warm = self.problem.default_u0
         self.u_last = np.zeros(2)
         self.goal_flag = False
@@ -96,20 +117,31 @@ class PathFollowerNode:
 
         _, path_velocity, path_omega = get_headings(path_xy, p.dt)
         x0 = np.array([pos[0], pos[1], ori[2]])
-        pxf, puf = get_reference_trajectory(
-            x0, goal, path_xy, path_heading, path_velocity, path_omega, self.N
-        )
-        theta = self.problem.make_theta(x0, pxf, puf, x_obs, y_obs)
-        U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
-
+        goal_dist = float(np.linalg.norm(x0[:2] - goal[:2]))
         t0 = time.perf_counter()
-        sol = self._solve(theta, U0)
+        if goal_dist < self.handoff_radius:
+            # point-stabilization handoff on the exact goal pose
+            theta = self._point_problem.make_theta(
+                np.array([x0[0], x0[1], x0[2] % (2 * np.pi)]),
+                np.array([goal[0], goal[1], goal[4] % (2 * np.pi)]),
+                x_obs, y_obs,
+            )
+            U0 = self._point_problem.default_u0
+            sol = self._point_solve(theta, U0)
+        else:
+            pxf, puf = get_reference_trajectory(
+                x0, goal, path_xy, path_heading, path_velocity, path_omega, self.N
+            )
+            theta = self.problem.make_theta(x0, pxf, puf, x_obs, y_obs)
+            U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
+            sol = self._solve(theta, U0)
         solve_s = time.perf_counter() - t0
         u = np.asarray(sol.U[0])
         if not np.all(np.isfinite(u)):
             u = self.u_last  # graceful degradation, not a crash
         else:
-            self.u_warm = shift_controls(sol.U)
+            # handoff solves carry a 2N-horizon: keep the first N as warm start
+            self.u_warm = shift_controls(sol.U)[: self.N]
         self.telemetry.record(
             solve_s=solve_s,
             kkt=float(sol.kkt_residual),
@@ -123,8 +155,9 @@ class PathFollowerNode:
             v_cmd, w_cmd, self.u_last = slew_limited_command(u, self.u_last, p.slew_limit)
             self.cmd_vel_publisher.publish_cmd(v_cmd, w_cmd)
 
-        # goal latch at the hardcoded 0.15 m radius (quirk #9)
-        if np.linalg.norm(x0[0:2] - goal[0:2]) > p.tracking_goal_radius:
+        # goal latch: hardcoded 0.15 m under parity (quirk #9), goal_threshold
+        # param otherwise
+        if np.linalg.norm(x0[0:2] - goal[0:2]) > self.goal_radius:
             self.goal_flag = False
         elif not self.goal_flag:
             self.cmd_vel_publisher.publish_cmd(0.0, 0.0)
