@@ -124,3 +124,29 @@ def test_unmapped_obstacle_corrected_vs_parity():
 
     reached_p, collided_p, _ = run(parity=True)
     assert collided_p and not reached_p  # the reference's faithful outcome
+
+
+@pytest.mark.slow
+def test_tracking_handoff_unmapped_obstacle():
+    """The tracking follower's goal-approach handoff: with an unmapped pillar
+    forcing a detour, it must still avoid, turn in, and latch the goal
+    (pre-handoff it orbited indefinitely)."""
+    world = pgm.synthetic_indoor_map()
+    clean = world.copy()
+    world[143:147, 123:127] = 0
+    stack = build_sim_stack(
+        follower="tracking", start_pose=(-1.0, -1.0, 0.0), horizon=20,
+        map_image=world, map_info=dict(pgm.DEFAULT_MAP_INFO),
+        planner_map_image=clean,
+    )
+    stack.publish_goal(1.0, -1.0)
+    reached = collided = False
+    for _ in range(400):
+        o = stack.tick()
+        if stack.sim.in_collision():
+            collided = True
+            break
+        if o["control"].get("status") == "goal_reached":
+            reached = True
+            break
+    assert reached and not collided
