@@ -565,3 +565,484 @@ def make_pallas_point_stab_solver(
         )
 
     return solve_bank
+
+
+def make_pallas_tracking_solver(
+    ocp: OCP,
+    settings: SolverSettings = SolverSettings(),
+    *,
+    interpret: bool = False,
+    tile_s: int = TILE_S,
+    tile_l: int = TILE_L,
+):
+    """Whole-solver Pallas kernel for the trajectory-tracking formulation
+    (make_tracking): Euler transition (quirk #3), time-varying x/u references
+    (quirk #4 indexing handled by the theta builder), Gaussian obstacle term
+    (weighted; 0 under parity), reverse penalty, log-barrier bounds. Same
+    tile layout and algorithm as the point-stabilization kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = ocp.horizon
+    x_probe = jnp.zeros(3)
+    u_probe = jnp.array([0.0, 1.0])
+    dt = float(ocp.transition(x_probe, u_probe)[2])
+
+    u_lo = np.asarray(ocp.u_lo, dtype=np.float32)
+    u_hi = np.asarray(ocp.u_hi, dtype=np.float32)
+    mus = _mu_schedule_np(settings)
+    n_iters = len(mus)
+    eps_int = (settings.interior_clip * (u_hi - u_lo)).astype(np.float32)
+    c1 = settings.armijo_c1
+
+    def kernel(
+        mu_ref,  # SMEM (n_iters,)
+        x0_ref,  # (3, S, L)
+        xref_ref,  # (N, 3, S, L)
+        uref_ref,  # (N, 2, S, L)
+        w_ref,  # (8, S, L): Q0,Q1,Q2,R0,R1,rf, ow*gain, inv_ir2
+        obs_ref,  # (2, n_obs, S, L)
+        u0_ref,  # (N, 2, S, L)
+        u_out,
+        x_out,
+        cost_out,
+        kkt_out,
+        X_scr,
+        U_scr,
+        kff_scr,
+        kfb_scr,
+        Ubest_scr,
+    ):
+        px0, py0, th0 = x0_ref[0, 0], x0_ref[0, 1], x0_ref[0, 2]
+        Q0, Q1, Q2 = w_ref[0, 0], w_ref[0, 1], w_ref[0, 2]
+        R0, R1 = w_ref[0, 3], w_ref[0, 4]
+        rf = w_ref[0, 5]
+        ow = w_ref[0, 6]
+        inv_ir2 = w_ref[0, 7]
+        obs_x_all = obs_ref[0, 0]
+        obs_y_all = obs_ref[0, 1]
+        lo_v, lo_w = u_lo[0], u_lo[1]
+        hi_v, hi_w = u_hi[0], u_hi[1]
+
+        def F(px, py, th, v, w):
+            return px + dt * v * jnp.cos(th), py + dt * v * jnp.sin(th), th + dt * w
+
+        def F_jac(px, py, th, v, w):
+            c = jnp.cos(th)
+            s = jnp.sin(th)
+            # A = [[1,0,-dt v s],[0,1,dt v c],[0,0,1]]
+            # B = [[dt c,0],[dt s,0],[0,dt]]
+            return -dt * v * s, dt * v * c, dt * c, dt * s
+
+        def obstacle_terms(px, py):
+            dx = px[None] - obs_x_all
+            dy = py[None] - obs_y_all
+            e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
+            i2 = inv_ir2[None]
+            val = jnp.sum(e, axis=0)
+            gx_ = jnp.sum(-2.0 * i2 * dx * e, axis=0)
+            gy_ = jnp.sum(-2.0 * i2 * dy * e, axis=0)
+            hxx = jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0)
+            hyy = jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0)
+            hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
+            return val, gx_, gy_, hxx, hxy, hyy
+
+        def stage_cost(k, px, py, th, v, w, mu):
+            ex = px - xref_ref[0, k, 0]
+            ey = py - xref_ref[0, k, 1]
+            eth = th - xref_ref[0, k, 2]
+            ev = v - uref_ref[0, k, 0]
+            ew = w - uref_ref[0, k, 1]
+            c = Q0 * ex * ex + Q1 * ey * ey + Q2 * eth * eth
+            c = c + R0 * ev * ev + R1 * ew * ew + jnp.exp(-rf * v)
+            obs_val, *_ = obstacle_terms(px, py)
+            c = c + obs_val
+            c = c - mu * (
+                jnp.log(v - lo_v) + jnp.log(hi_v - v) + jnp.log(w - lo_w) + jnp.log(hi_w - w)
+            )
+            return c
+
+        def clip_interior(v, w):
+            v = jnp.clip(v, lo_v + eps_int[0], hi_v - eps_int[0])
+            w = jnp.clip(w, lo_w + eps_int[1], hi_w - eps_int[1])
+            return v, w
+
+        def init_u(k, _):
+            v, w = u0_ref[0, k, 0], u0_ref[0, k, 1]
+            v = jnp.clip(v, lo_v + 1e-3 * (hi_v - lo_v), hi_v - 1e-3 * (hi_v - lo_v))
+            w = jnp.clip(w, lo_w + 1e-3 * (hi_w - lo_w), hi_w - 1e-3 * (hi_w - lo_w))
+            U_scr[k, 0] = v
+            U_scr[k, 1] = w
+            return 0
+
+        jax.lax.fori_loop(0, N, init_u, 0)
+
+        def rollout_cost(mu):
+            X_scr[0, 0] = px0
+            X_scr[0, 1] = py0
+            X_scr[0, 2] = th0
+
+            def body(k, acc):
+                px, py, th = X_scr[k, 0], X_scr[k, 1], X_scr[k, 2]
+                v, w = U_scr[k, 0], U_scr[k, 1]
+                acc = acc + stage_cost(k, px, py, th, v, w, mu)
+                nx, ny, nth = F(px, py, th, v, w)
+                X_scr[k + 1, 0] = nx
+                X_scr[k + 1, 1] = ny
+                X_scr[k + 1, 2] = nth
+                return acc
+
+            acc = jax.lax.fori_loop(0, N, body, jnp.zeros_like(px0))
+            # terminal obstacle term (the tracking OCP's stage-N cost)
+            obs_N, *_ = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
+            return acc + obs_N
+
+        def one_iteration(t, reg):
+            mu = mu_ref[t]
+            J = rollout_cost(mu)
+
+            def bwd(i, carry):
+                k = N - 1 - i
+                (vx0, vx1, vx2, v00, v01, v02, v11, v12, v22, dV1, dV2) = carry
+                px, py, th = X_scr[k, 0], X_scr[k, 1], X_scr[k, 2]
+                v, w = U_scr[k, 0], U_scr[k, 1]
+                a02, a12, bc, bsn = F_jac(px, py, th, v, w)
+
+                _, ogx, ogy, ohxx, ohxy, ohyy = obstacle_terms(px, py)
+                ex = px - xref_ref[0, k, 0]
+                ey = py - xref_ref[0, k, 1]
+                eth = th - xref_ref[0, k, 2]
+                ev = v - uref_ref[0, k, 0]
+                ew = w - uref_ref[0, k, 1]
+                lx0 = 2.0 * Q0 * ex + ogx
+                lx1 = 2.0 * Q1 * ey + ogy
+                lx2 = 2.0 * Q2 * eth
+                er = jnp.exp(-rf * v)
+                sv_lo = v - lo_v
+                sv_hi = hi_v - v
+                sw_lo = w - lo_w
+                sw_hi = hi_w - w
+                lu0 = 2.0 * R0 * ev - rf * er - mu * (1.0 / sv_lo - 1.0 / sv_hi)
+                lu1 = 2.0 * R1 * ew - mu * (1.0 / sw_lo - 1.0 / sw_hi)
+                lxx00 = 2.0 * Q0 + ohxx
+                lxx01 = ohxy
+                lxx11 = 2.0 * Q1 + ohyy
+                lxx22 = 2.0 * Q2
+                luu00 = 2.0 * R0 + rf * rf * er + mu * (1.0 / (sv_lo * sv_lo) + 1.0 / (sv_hi * sv_hi))
+                luu11 = 2.0 * R1 + mu * (1.0 / (sw_lo * sw_lo) + 1.0 / (sw_hi * sw_hi))
+
+                qx0 = lx0 + vx0
+                qx1 = lx1 + vx1
+                qx2 = lx2 + a02 * vx0 + a12 * vx1 + vx2
+                qu0 = lu0 + bc * vx0 + bsn * vx1
+                qu1 = lu1 + dt * vx2
+
+                va02 = v00 * a02 + v01 * a12 + v02
+                va12 = v01 * a02 + v11 * a12 + v12
+                va22 = v02 * a02 + v12 * a12 + v22
+                q00 = lxx00 + v00
+                q01 = lxx01 + v01
+                q02 = va02
+                q11 = lxx11 + v11
+                q12 = va12
+                q22 = lxx22 + a02 * va02 + a12 * va12 + va22
+
+                # B columns: b_v = (bc, bsn, 0), b_w = (0, 0, dt)
+                vb00 = v00 * bc + v01 * bsn
+                vb10 = v01 * bc + v11 * bsn
+                vb20 = v02 * bc + v12 * bsn
+                vb01 = v02 * dt
+                vb11 = v12 * dt
+                vb21 = v22 * dt
+                quu00 = luu00 + bc * vb00 + bsn * vb10 + reg
+                quu01 = bc * vb01 + bsn * vb11
+                quu11 = luu11 + dt * vb21 + reg
+                qux00 = bc * v00 + bsn * v01
+                qux01 = bc * v01 + bsn * v11
+                qux02 = bc * va02 + bsn * va12
+                qux10 = dt * v02
+                qux11 = dt * v12
+                qux12 = dt * va22
+
+                det = quu00 * quu11 - quu01 * quu01
+                bad = jnp.logical_or(det <= 1e-12, jnp.minimum(quu00, quu11) <= 0.0)
+                quu00 = jnp.where(bad, quu00 + 1e3, quu00)
+                quu11 = jnp.where(bad, quu11 + 1e3, quu11)
+                det = jnp.where(bad, quu00 * quu11 - quu01 * quu01, det)
+                inv_det = 1.0 / det
+
+                def solve2(r0, r1):
+                    return (
+                        (quu11 * r0 - quu01 * r1) * inv_det,
+                        (quu00 * r1 - quu01 * r0) * inv_det,
+                    )
+
+                kf0, kf1 = solve2(-qu0, -qu1)
+                K00, K10 = solve2(-qux00, -qux10)
+                K01, K11 = solve2(-qux01, -qux11)
+                K02, K12 = solve2(-qux02, -qux12)
+
+                kff_scr[k, 0] = kf0
+                kff_scr[k, 1] = kf1
+                kfb_scr[k, 0, 0] = K00
+                kfb_scr[k, 0, 1] = K01
+                kfb_scr[k, 0, 2] = K02
+                kfb_scr[k, 1, 0] = K10
+                kfb_scr[k, 1, 1] = K11
+                kfb_scr[k, 1, 2] = K12
+
+                qk0 = quu00 * kf0 + quu01 * kf1
+                qk1 = quu01 * kf0 + quu11 * kf1
+                nvx0 = qx0 + K00 * qk0 + K10 * qk1 + K00 * qu0 + K10 * qu1 + qux00 * kf0 + qux10 * kf1
+                nvx1 = qx1 + K01 * qk0 + K11 * qk1 + K01 * qu0 + K11 * qu1 + qux01 * kf0 + qux11 * kf1
+                nvx2 = qx2 + K02 * qk0 + K12 * qk1 + K02 * qu0 + K12 * qu1 + qux02 * kf0 + qux12 * kf1
+
+                qkK0 = quu00 * K00 + quu01 * K10
+                qkK1 = quu01 * K00 + quu11 * K10
+                qkK0b = quu00 * K01 + quu01 * K11
+                qkK1b = quu01 * K01 + quu11 * K11
+                qkK0c = quu00 * K02 + quu01 * K12
+                qkK1c = quu01 * K02 + quu11 * K12
+                n00 = q00 + K00 * qkK0 + K10 * qkK1 + 2.0 * (K00 * qux00 + K10 * qux10)
+                n01 = q01 + K00 * qkK0b + K10 * qkK1b + (K00 * qux01 + K10 * qux11) + (K01 * qux00 + K11 * qux10)
+                n02 = q02 + K00 * qkK0c + K10 * qkK1c + (K00 * qux02 + K10 * qux12) + (K02 * qux00 + K12 * qux10)
+                n11 = q11 + K01 * qkK0b + K11 * qkK1b + 2.0 * (K01 * qux01 + K11 * qux11)
+                n12 = q12 + K01 * qkK0c + K11 * qkK1c + (K01 * qux02 + K11 * qux12) + (K02 * qux01 + K12 * qux11)
+                n22 = q22 + K02 * qkK0c + K12 * qkK1c + 2.0 * (K02 * qux02 + K12 * qux12)
+
+                dV1 = dV1 + kf0 * qu0 + kf1 * qu1
+                dV2 = dV2 + 0.5 * (kf0 * qk0 + kf1 * qk1)
+                return (nvx0, nvx1, nvx2, n00, n01, n02, n11, n12, n22, dV1, dV2)
+
+            zero = jnp.zeros_like(px0)
+            _, tgx, tgy, thxx, thxy, thyy = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
+            init = (tgx, tgy, zero, thxx, thxy, zero, thyy, zero, zero, zero, zero)
+            (_, _, _, _, _, _, _, _, _, dV1, dV2) = jax.lax.fori_loop(0, N, bwd, init)
+
+            accepted = jnp.zeros_like(px0)
+
+            def try_alpha(J, accepted, alpha):
+                px, py, th = px0, py0, th0
+
+                def fbody(k, carry):
+                    px, py, th, acc = carry
+                    dx0 = px - X_scr[k, 0]
+                    dx1 = py - X_scr[k, 1]
+                    dx2 = th - X_scr[k, 2]
+                    v = U_scr[k, 0] + alpha * kff_scr[k, 0] + (
+                        kfb_scr[k, 0, 0] * dx0 + kfb_scr[k, 0, 1] * dx1 + kfb_scr[k, 0, 2] * dx2
+                    )
+                    w = U_scr[k, 1] + alpha * kff_scr[k, 1] + (
+                        kfb_scr[k, 1, 0] * dx0 + kfb_scr[k, 1, 1] * dx1 + kfb_scr[k, 1, 2] * dx2
+                    )
+                    v, w = clip_interior(v, w)
+                    acc = acc + stage_cost(k, px, py, th, v, w, mu)
+                    take = accepted < 0.5
+                    Ubest_scr[k, 0] = jnp.where(take, v, Ubest_scr[k, 0])
+                    Ubest_scr[k, 1] = jnp.where(take, w, Ubest_scr[k, 1])
+                    nx, ny, nth = F(px, py, th, v, w)
+                    return nx, ny, nth, acc
+
+                cx, cy, _, Jc = jax.lax.fori_loop(0, N, fbody, (px, py, th, jnp.zeros_like(px0)))
+                obs_N, *_ = obstacle_terms(cx, cy)
+                Jc = Jc + obs_N
+                expected = -(alpha * dV1 + alpha * alpha * dV2)
+                Jc = jnp.where(jnp.isnan(Jc), jnp.inf, Jc)
+                ok = Jc <= J - c1 * jnp.maximum(expected, 0.0)
+                newly = jnp.where(jnp.logical_and(ok, accepted < 0.5), 1.0, 0.0)
+
+                def freeze(k, _):
+                    keep = (accepted + newly) > 0.5
+                    Ubest_scr[k, 0] = jnp.where(keep, Ubest_scr[k, 0], U_scr[k, 0])
+                    Ubest_scr[k, 1] = jnp.where(keep, Ubest_scr[k, 1], U_scr[k, 1])
+                    return 0
+
+                jax.lax.fori_loop(0, N, freeze, 0)
+                return jnp.maximum(accepted, newly)
+
+            def alpha_step(a, accepted):
+                alpha = jnp.exp(-0.6931471805599453 * a.astype(jnp.float32))
+                return try_alpha(J, accepted, alpha)
+
+            accepted = jax.lax.fori_loop(0, settings.n_alphas, alpha_step, accepted)
+            acc_mask = accepted > 0.5
+
+            def commit(k, _):
+                U_scr[k, 0] = jnp.where(acc_mask, Ubest_scr[k, 0], U_scr[k, 0])
+                U_scr[k, 1] = jnp.where(acc_mask, Ubest_scr[k, 1], U_scr[k, 1])
+                return 0
+
+            jax.lax.fori_loop(0, N, commit, 0)
+            reg = jnp.where(
+                acc_mask,
+                jnp.maximum(reg * 0.5, settings.reg_min),
+                jnp.minimum(reg * 10.0 + settings.reg_min, settings.reg_max),
+            )
+            return reg
+
+        reg0 = jnp.full(px0.shape, settings.reg_init, dtype=jnp.float32)
+        jax.lax.fori_loop(0, n_iters, one_iteration, reg0)
+
+        def final_cost():
+            X_scr[0, 0] = px0
+            X_scr[0, 1] = py0
+            X_scr[0, 2] = th0
+
+            def body(k, acc):
+                px, py, th = X_scr[k, 0], X_scr[k, 1], X_scr[k, 2]
+                v, w = U_scr[k, 0], U_scr[k, 1]
+                ex = px - xref_ref[0, k, 0]
+                ey = py - xref_ref[0, k, 1]
+                eth = th - xref_ref[0, k, 2]
+                ev = v - uref_ref[0, k, 0]
+                ew = w - uref_ref[0, k, 1]
+                c = Q0 * ex * ex + Q1 * ey * ey + Q2 * eth * eth
+                c = c + R0 * ev * ev + R1 * ew * ew + jnp.exp(-rf * v)
+                obs_val, *_ = obstacle_terms(px, py)
+                acc = acc + c + obs_val
+                nx, ny, nth = F(px, py, th, v, w)
+                X_scr[k + 1, 0] = nx
+                X_scr[k + 1, 1] = ny
+                X_scr[k + 1, 2] = nth
+                return acc
+
+            acc = jax.lax.fori_loop(0, N, body, jnp.zeros_like(px0))
+            obs_N, *_ = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
+            return acc + obs_N
+
+        Jtrue = final_cost()
+
+        def adjoint(i, carry):
+            k = N - 1 - i
+            l0, l1, l2, kkt = carry
+            px, py, th = X_scr[k, 0], X_scr[k, 1], X_scr[k, 2]
+            v, w = U_scr[k, 0], U_scr[k, 1]
+            a02, a12, bc, bsn = F_jac(px, py, th, v, w)
+            _, ogx, ogy, _, _, _ = obstacle_terms(px, py)
+            ex = px - xref_ref[0, k, 0]
+            ey = py - xref_ref[0, k, 1]
+            eth = th - xref_ref[0, k, 2]
+            ev = v - uref_ref[0, k, 0]
+            ew = w - uref_ref[0, k, 1]
+            lx0 = 2.0 * Q0 * ex + ogx
+            lx1 = 2.0 * Q1 * ey + ogy
+            lx2 = 2.0 * Q2 * eth
+            er = jnp.exp(-rf * v)
+            gu0 = 2.0 * R0 * ev - rf * er + bc * l0 + bsn * l1
+            gu1 = 2.0 * R1 * ew + dt * l2
+            r0 = jnp.abs(v - jnp.clip(v - gu0, lo_v, hi_v))
+            r1 = jnp.abs(w - jnp.clip(w - gu1, lo_w, hi_w))
+            kkt = jnp.maximum(kkt, jnp.maximum(r0, r1))
+            n0 = lx0 + l0
+            n1 = lx1 + l1
+            n2 = lx2 + a02 * l0 + a12 * l1 + l2
+            return n0, n1, n2, kkt
+
+        zero = jnp.zeros_like(px0)
+        _, agx, agy, _, _, _ = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
+        _, _, _, kkt = jax.lax.fori_loop(0, N, adjoint, (agx, agy, zero, zero))
+
+        def emit(k, _):
+            u_out[0, k, 0] = U_scr[k, 0]
+            u_out[0, k, 1] = U_scr[k, 1]
+            x_out[0, k, 0] = X_scr[k, 0]
+            x_out[0, k, 1] = X_scr[k, 1]
+            x_out[0, k, 2] = X_scr[k, 2]
+            return 0
+
+        jax.lax.fori_loop(0, N, emit, 0)
+        x_out[0, N, 0] = X_scr[N, 0]
+        x_out[0, N, 1] = X_scr[N, 1]
+        x_out[0, N, 2] = X_scr[N, 2]
+        cost_out[0] = Jtrue
+        kkt_out[0] = kkt
+
+    tile = tile_s * tile_l
+
+    def solve_bank(thetas, U0s):
+        B = jax.tree_util.tree_leaves(thetas)[0].shape[0]
+        assert B % tile == 0, f"bank size {B} must be a multiple of {tile}"
+        n_tiles = B // tile
+        n_obs = thetas["obs_x"].shape[1]
+
+        def pack(leaf):
+            moved = jnp.moveaxis(jnp.asarray(leaf, jnp.float32), 0, -1)
+            return jnp.moveaxis(
+                moved.reshape(moved.shape[:-1] + (n_tiles, tile_s, tile_l)), -3, 0
+            )
+
+        x0 = jnp.stack([pack(thetas["x0"][:, i]) for i in range(3)], axis=1)
+        xref = pack(thetas["x_ref"])  # (n_tiles, N, 3, S, L)
+        uref = pack(thetas["u_ref"])
+        wts = jnp.stack(
+            [
+                pack(thetas["Q"][:, 0]),
+                pack(thetas["Q"][:, 1]),
+                pack(thetas["Q"][:, 2]),
+                pack(thetas["R"][:, 0]),
+                pack(thetas["R"][:, 1]),
+                pack(thetas["reverse_factor"]),
+                pack(thetas["obstacle_weight"] * thetas["obstacle_gain"]),
+                pack(1.0 / (thetas["inflation_radius"] ** 2)),
+            ],
+            axis=1,
+        )
+        obs = jnp.stack([pack(thetas["obs_x"]), pack(thetas["obs_y"])], axis=1)
+        u0 = pack(U0s)
+
+        grid = (n_tiles,)
+        out_shape = (
+            jax.ShapeDtypeStruct((n_tiles, N, 2, tile_s, tile_l), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, N + 1, 3, tile_s, tile_l), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
+        )
+        bspec = lambda *shape: pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        U_t, X_t, J_t, kkt_t = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n_iters,), lambda i: (0,), memory_space=pltpu.SMEM),
+                bspec(3, tile_s, tile_l),
+                bspec(N, 3, tile_s, tile_l),
+                bspec(N, 2, tile_s, tile_l),
+                bspec(8, tile_s, tile_l),
+                bspec(2, n_obs, tile_s, tile_l),
+                bspec(N, 2, tile_s, tile_l),
+            ],
+            out_specs=(
+                bspec(N, 2, tile_s, tile_l),
+                bspec(N + 1, 3, tile_s, tile_l),
+                bspec(tile_s, tile_l),
+                bspec(tile_s, tile_l),
+            ),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((N + 1, 3, tile_s, tile_l), jnp.float32),
+                pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
+                pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
+                pltpu.VMEM((N, 2, 3, tile_s, tile_l), jnp.float32),
+                pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
+            ],
+            interpret=interpret,
+        )(jnp.asarray(mus), x0, xref, uref, wts, obs, u0)
+
+        def unpack(arr):
+            moved = jnp.moveaxis(arr, 0, -3)
+            flat = moved.reshape(moved.shape[:-3] + (B,))
+            return jnp.moveaxis(flat, -1, 0)
+
+        kkt = unpack(kkt_t)
+        return Solution(
+            U=unpack(U_t),
+            X=unpack(X_t),
+            cost=unpack(J_t),
+            kkt_residual=kkt,
+            converged=kkt < settings.kkt_tol,
+            n_iters=jnp.full((B,), n_iters, dtype=jnp.int32),
+            reg=jnp.zeros((B,)),
+        )
+
+    return solve_bank

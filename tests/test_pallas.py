@@ -59,3 +59,34 @@ def test_pallas_kernel_with_active_obstacles():
     got = solve_pl(thetas, U0)
     np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U), atol=5e-4)
     np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-3)
+
+
+def test_pallas_tracking_kernel_matches_reference():
+    from ros2_mpc_tpu.solver import make_tracking
+    from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_tracking_solver
+
+    prob = make_tracking(PARAMS, horizon=N, settings=FAST, reference_parity=False)
+    B = 16
+    rng = np.random.default_rng(5)
+    x0 = rng.uniform(-0.2, 0.2, size=(B, 3))
+    ts = np.arange(1, N + 1) * PARAMS.dt
+    x_ref = np.stack(
+        [x0[:, 0:1] + 0.15 * ts[None], np.zeros((B, N)), np.zeros((B, N))], axis=2
+    )
+    u_ref = np.tile([0.15, 0.0], (B, N, 1))
+    n_obs = PARAMS.n_obstacle_points
+    ox = np.full((B, n_obs), 100.0)
+    oy = np.full((B, n_obs), 100.0)
+    ox[:, 0] = rng.uniform(0.3, 0.6, size=B)  # one live obstacle near the line
+    oy[:, 0] = rng.uniform(-0.15, 0.15, size=B)
+    thetas = jax.vmap(prob.make_theta)(
+        jnp.asarray(x0), jnp.asarray(x_ref), jnp.asarray(u_ref),
+        jnp.asarray(ox), jnp.asarray(oy),
+    )
+    U0 = jnp.zeros((B, N, 2))
+    ref = jax.jit(jax.vmap(prob.solve))(thetas, U0)
+    got = make_pallas_tracking_solver(prob.ocp, FAST, interpret=True, tile_s=2, tile_l=8)(
+        thetas, U0
+    )
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-3)
