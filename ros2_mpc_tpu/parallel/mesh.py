@@ -67,8 +67,10 @@ def make_bank_solver(problem, mesh: Mesh, axis_names=None, engine: str = "vmap")
     warm-started tick); metrics are replicated scalars.
 
     ``engine='fast'`` uses the lane-aligned bank engine
-    (solver/batched.py) — the production path on TPU; ``'vmap'`` the
-    reference engine.
+    (solver/batched.py); ``'pallas'`` the whole-solver kernels
+    (solver/pallas_kernel.py — TPU only, bank must be a multiple of 1024,
+    single-device meshes until the kernels gain shard_map wrappers);
+    ``'vmap'`` the reference engine.
     """
     if axis_names is None:
         axis_names = tuple(mesh.axis_names)
@@ -80,6 +82,18 @@ def make_bank_solver(problem, mesh: Mesh, axis_names=None, engine: str = "vmap")
         from ..solver.batched import make_bank_solver_fast
 
         batched = make_bank_solver_fast(problem.ocp, problem.settings)
+    elif engine == "pallas":
+        # whole-solver kernels; pick by problem shape (tracking theta carries
+        # time-varying references)
+        from ..solver.pallas_kernel import (
+            make_pallas_point_stab_solver,
+            make_pallas_tracking_solver,
+        )
+
+        if getattr(problem, "kind", "point_stabilization") == "tracking":
+            batched = make_pallas_tracking_solver(problem.ocp, problem.settings)
+        else:
+            batched = make_pallas_point_stab_solver(problem.ocp, problem.settings)
     else:
         batched = jax.vmap(problem.solve)
 

@@ -55,6 +55,7 @@ class Problem(NamedTuple):
     default_u0: jnp.ndarray  # (N, m) zeros — the reference's warm start
     ocp: OCP
     settings: SolverSettings
+    kind: str = "point_stabilization"  # | "tracking" | "legacy" 
 
 
 def _no_obstacles(params: Params, far: float = 1e3):
@@ -135,6 +136,7 @@ def make_point_stabilization(
         default_u0=jnp.zeros((N, 2)),
         ocp=ocp,
         settings=settings,
+        kind="point_stabilization",
     )
 
 
@@ -225,6 +227,7 @@ def make_tracking(
         default_u0=jnp.zeros((N, 2)),
         ocp=ocp,
         settings=settings,
+        kind="tracking",
     )
 
 
@@ -295,4 +298,5 @@ def make_legacy_point_stabilization(
         default_u0=jnp.zeros((N, 2)),
         ocp=ocp,
         settings=settings,
+        kind="legacy",
     )
