@@ -40,12 +40,24 @@ def make_fleet_rollout(
     dt: float,
     goal_threshold: float = 0.2,
     record: bool = False,
+    engine: str = "vmap",
 ):
     """Build ``rollout(thetas, U0s) -> FleetResult`` — the full closed loop
     under jit. ``thetas`` is a B-leading point-stabilization bank (the goal
     field drives each robot); plant integration is RK4 at the control rate.
+    ``engine``: 'vmap' | 'fast' (lane-aligned) | 'pallas' (TPU kernel,
+    bank multiple of 1024).
     """
-    batched_solve = jax.vmap(problem.solve)
+    if engine == "fast":
+        from ..solver.batched import make_bank_solver_fast
+
+        batched_solve = make_bank_solver_fast(problem.ocp, problem.settings)
+    elif engine == "pallas":
+        from ..solver.pallas_kernel import make_pallas_point_stab_solver
+
+        batched_solve = make_pallas_point_stab_solver(problem.ocp, problem.settings)
+    else:
+        batched_solve = jax.vmap(problem.solve)
 
     def plant(x, u):
         return rk4_step(unicycle.f, x, u, dt)

@@ -150,3 +150,29 @@ def test_tracking_handoff_unmapped_obstacle():
             reached = True
             break
     assert reached and not collided
+
+
+def test_global_costmap_file_reload_variant():
+    """#28: the nav variant re-reads the map from PGM every tick
+    (core/global_costmap_publisher_nav.py:23-33)."""
+    import os
+
+    from ros2_mpc_tpu.nodes.costmap_nodes import GlobalCostmapNode
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stack = build_sim_stack(follower="tracking", start_pose=(-1.0, -1.0, 0.0), horizon=HORIZON)
+    node = GlobalCostmapNode(
+        stack.bus,
+        Params(),
+        map_pgm_path=os.path.join(repo, "maps", "map_synthetic.pgm"),
+        map_yaml_path=os.path.join(repo, "maps", "map_synthetic.yaml"),
+        reload_map_every_tick=True,
+    )
+    stack.sim.publish_scan()  # node subscribed after the stack's priming
+    stack.sim.publish_state()
+    out = node.tick()
+    assert out["status"] == "published"
+    assert out["costmap"].shape == (250, 250)
+    assert out["costmap"].max() > 0  # walls present
+    out2 = node.tick()  # second tick re-reads the file
+    assert out2["status"] == "published"
