@@ -167,3 +167,39 @@ def test_warm_start_shift(point_stab):
     sol1 = jax.jit(prob.solve)(theta, prob.default_u0)
     sol2 = jax.jit(prob.solve)(theta, shift_controls(sol1.U))
     assert float(sol2.cost) <= float(sol1.cost) + 1e-5
+
+
+def test_corrected_point_stab_with_active_obstacles_matches_oracle():
+    """Corrected mode activates the Gaussian obstacle cost
+    (local_planner_point_stabilization.py:60-67 made live): oracle parity
+    must hold for the augmented objective too."""
+    prob = make_point_stabilization(PARAMS, horizon=N, reference_parity=False)
+    x0 = np.array([0.0, 0.0, 0.0])
+    goal = np.array([1.0, 0.0, 0.0])
+    n_obs = PARAMS.n_obstacle_points
+    obs_x = np.full(n_obs, 100.0)
+    obs_y = np.full(n_obs, 100.0)
+    obs_x[:2] = [0.5, 0.6]
+    obs_y[:2] = [0.1, -0.1]
+    theta = prob.make_theta(x0, goal, obs_x, obs_y)
+    sol = jax.jit(prob.solve)(theta, prob.default_u0)
+
+    gain = PARAMS.reverse_factor  # quirk #2 swap: gain = reverse_factor
+
+    def obstacle(xy):
+        return oracle.gaussian_obstacle(xy, obs_x, obs_y, PARAMS.inflation_radius, gain)
+
+    U_ref, J_ref = oracle.solve_oracle(
+        lambda U: oracle.point_stab_cost(
+            U, x0, goal, PARAMS.dt, N,
+            Q=PARAMS.Q, R=(0.5, 0.5), reverse_factor=PARAMS.cost_factor,
+            obstacle=obstacle,
+        ),
+        N,
+        u_lo=(PARAMS.pointstab_v_bounds[0], PARAMS.pointstab_w_bounds[0]),
+        u_hi=(PARAMS.pointstab_v_bounds[1], PARAMS.pointstab_w_bounds[1]),
+        U0=np.asarray(sol.U),  # same basin: polish from our solution
+    )
+    assert float(sol.cost) <= J_ref + 1e-4
+    err = np.max(np.abs(np.asarray(sol.U) - U_ref))
+    assert err <= 2e-3, f"control drift {err:.2e} (J={float(sol.cost):.6f} vs {J_ref:.6f})"
