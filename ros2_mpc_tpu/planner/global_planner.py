@@ -35,28 +35,34 @@ def astar_path(weights: np.ndarray, start, goal, allow_diagonal: bool = False) -
     return path
 
 
+def _bresenham(a, b):
+    """8-connected cells of the segment a -> b, endpoints included."""
+    (cx, cy), (tx, ty) = (int(a[0]), int(a[1])), (int(b[0]), int(b[1]))
+    step_x = 1 if tx >= cx else -1
+    step_y = 1 if ty >= cy else -1
+    span_x, span_y = abs(tx - cx), abs(ty - cy)
+    residual = span_x - span_y
+    cells = []
+    while (cx, cy) != (tx, ty):
+        cells.append((cx, cy))
+        doubled = residual * 2
+        if doubled > -span_y:
+            residual -= span_y
+            cx += step_x
+        if doubled < span_x:
+            residual += span_x
+            cy += step_y
+    cells.append((tx, ty))
+    return cells
+
+
 def get_points_on_lines(line_segments) -> np.ndarray:
-    """Bresenham densification of ``[((x1,y1),(x2,y2)), ...]`` segments
-    (reference global_planner.py:8-32)."""
-    points = []
-    for segment in line_segments:
-        x1, y1 = int(segment[0][0]), int(segment[0][1])
-        x2, y2 = int(segment[1][0]), int(segment[1][1])
-        dx, dy = abs(x2 - x1), abs(y2 - y1)
-        sx = -1 if x1 > x2 else 1
-        sy = -1 if y1 > y2 else 1
-        err = dx - dy
-        while x1 != x2 or y1 != y2:
-            points.append((x1, y1))
-            e2 = 2 * err
-            if e2 > -dy:
-                err -= dy
-                x1 += sx
-            if e2 < dx:
-                err += dx
-                y1 += sy
-        points.append((x2, y2))
-    return np.array(points)
+    """Bresenham densification of ``[((x1,y1),(x2,y2)), ...]`` segment lists —
+    the same contract as the reference helper (global_planner.py:8-32)."""
+    cells = []
+    for seg in line_segments:
+        cells.extend(_bresenham(seg[0], seg[1]))
+    return np.array(cells)
 
 
 class AStarPlanner2:
