@@ -80,7 +80,6 @@ def make_pallas_point_stab_solver(
     u_hi = np.asarray(ocp.u_hi, dtype=np.float32)
     mus = _mu_schedule_np(settings)
     n_iters = len(mus)
-    alphas = (0.5 ** np.arange(settings.n_alphas)).astype(np.float32)
     eps_int = (settings.interior_clip * (u_hi - u_lo)).astype(np.float32)
     c1 = settings.armijo_c1
 
