@@ -58,7 +58,13 @@ def bank_metrics(sols) -> dict:
     }
 
 
-def make_bank_solver(problem, mesh: Mesh, axis_names=None, engine: str = "vmap"):
+def make_bank_solver(
+    problem,
+    mesh: Mesh,
+    axis_names=None,
+    engine: str = "vmap",
+    **engine_opts,
+):
     """Jit a scenario-bank solve sharded over ``mesh``.
 
     Returns ``step(thetas, U0s) -> (Solution batch, metrics)`` where every
@@ -66,11 +72,24 @@ def make_bank_solver(problem, mesh: Mesh, axis_names=None, engine: str = "vmap")
     mesh size. Solutions stay sharded (device-resident for the next
     warm-started tick); metrics are replicated scalars.
 
-    ``engine='fast'`` uses the lane-aligned bank engine
-    (solver/batched.py); ``'pallas'`` the whole-solver kernels
-    (solver/pallas_kernel.py — TPU only, bank must be a multiple of 1024,
-    single-device meshes until the kernels gain shard_map wrappers);
-    ``'vmap'`` the reference engine.
+    Engines:
+
+    * ``'vmap'`` — the reference engine (solver/ilqr.py), partitioned by
+      GSPMD from the in/out shardings alone.
+    * ``'fast'`` — the lane-aligned bank engine (solver/batched.py). On a
+      multi-device mesh it is wrapped in ``shard_map`` so its internal
+      ``(B/lanes, lanes)`` reshape happens per shard — GSPMD would otherwise
+      have to reshard the lane-minor layout across devices. Per-device batch
+      must be a multiple of ``lanes`` (default 128).
+    * ``'pallas'`` — the whole-solver VMEM kernels (solver/pallas_kernel.py),
+      likewise ``shard_map``-wrapped: each device runs the kernel over its
+      local scenario tile grid. Per-device batch must be a multiple of
+      ``tile_s * tile_l`` (default 8*128 = 1024 on TPU). ``interpret=True``
+      (default off-TPU) runs the kernel in interpreter mode.
+
+    Extra ``engine_opts`` are forwarded to the engine factory
+    (``lanes=`` for 'fast'; ``interpret=``, ``tile_s=``, ``tile_l=`` for
+    'pallas').
     """
     if axis_names is None:
         axis_names = tuple(mesh.axis_names)
@@ -81,7 +100,7 @@ def make_bank_solver(problem, mesh: Mesh, axis_names=None, engine: str = "vmap")
     if engine == "fast":
         from ..solver.batched import make_bank_solver_fast
 
-        batched = make_bank_solver_fast(problem.ocp, problem.settings)
+        batched = make_bank_solver_fast(problem.ocp, problem.settings, **engine_opts)
     elif engine == "pallas":
         # whole-solver kernels; pick by problem shape (tracking theta carries
         # time-varying references)
@@ -90,12 +109,29 @@ def make_bank_solver(problem, mesh: Mesh, axis_names=None, engine: str = "vmap")
             make_pallas_tracking_solver,
         )
 
+        engine_opts.setdefault("interpret", jax.default_backend() != "tpu")
         if getattr(problem, "kind", "point_stabilization") == "tracking":
-            batched = make_pallas_tracking_solver(problem.ocp, problem.settings)
+            batched = make_pallas_tracking_solver(
+                problem.ocp, problem.settings, **engine_opts
+            )
         else:
-            batched = make_pallas_point_stab_solver(problem.ocp, problem.settings)
+            batched = make_pallas_point_stab_solver(
+                problem.ocp, problem.settings, **engine_opts
+            )
     else:
         batched = jax.vmap(problem.solve)
+
+    if engine in ("fast", "pallas") and mesh.size > 1:
+        # The scenario axis is embarrassingly parallel: run the engine
+        # per-shard so its lane/tile packing never crosses a device
+        # boundary. (No collectives inside — telemetry reduces outside.)
+        batched = jax.shard_map(
+            batched,
+            mesh=mesh,
+            in_specs=(batch_spec, batch_spec),
+            out_specs=batch_spec,
+            check_vma=False,
+        )
 
     def _step(thetas, U0s):
         sols = batched(thetas, U0s)

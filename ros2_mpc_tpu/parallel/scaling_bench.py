@@ -4,22 +4,32 @@ from 1 chip to >= 2 hosts).
 Measures bank-solve throughput at 1 device vs n devices on whatever mesh is
 available — real TPU chips on a pod slice (after
 ``parallel.distributed.initialize``), or the virtual CPU mesh in CI, where it
-validates the harness and the GSPMD partitioning rather than silicon scaling.
-The workload is embarrassingly parallel across scenarios, so the measured
-inefficiency isolates partitioning overhead + the collective telemetry
-reductions (scalar latency-bound all-reduces over ICI/DCN).
+validates the harness and the GSPMD/shard_map partitioning rather than
+silicon scaling. The workload is embarrassingly parallel across scenarios, so
+the measured inefficiency isolates partitioning overhead + the collective
+telemetry reductions (scalar latency-bound all-reduces over ICI/DCN).
+
+``main()`` runs every engine ('vmap', 'fast', 'pallas') and persists the
+results as a JSON artifact (default ``SCALING.json`` at the repo root) so
+each round's numbers are comparable across hardware.
 """
 
 from __future__ import annotations
 
+import json
 import time
 
-import numpy as np
 
-
-def run(per_device_batch: int = 512, horizon: int = 20, reps: int = 3, engine: str = "vmap"):
+def run(
+    per_device_batch: int = 512,
+    horizon: int = 20,
+    reps: int = 3,
+    engine: str = "vmap",
+    **engine_opts,
+):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ..config import Params
     from ..solver import make_point_stabilization
@@ -38,7 +48,7 @@ def run(per_device_batch: int = 512, horizon: int = 20, reps: int = 3, engine: s
         )
         U0 = jnp.zeros((B, horizon, 2))
         mesh = make_mesh(nd)
-        step = make_bank_solver(prob, mesh, engine=engine)
+        step = make_bank_solver(prob, mesh, engine=engine, **engine_opts)
         thetas = shard_bank(thetas, mesh)
         U0 = shard_bank(U0, mesh)
         jax.block_until_ready(step(thetas, U0))  # compile
@@ -51,19 +61,60 @@ def run(per_device_batch: int = 512, horizon: int = 20, reps: int = 3, engine: s
         results[nd] = B / best
     eff = results[n_dev] / (results[1] * n_dev) if n_dev > 1 else 1.0
     return {
+        "engine": engine,
         "devices": n_dev,
+        "per_device_batch": per_device_batch,
+        "horizon": horizon,
         "solves_per_s_1dev": results[1],
         "solves_per_s_ndev": results.get(n_dev, results[1]),
         "scaling_efficiency": eff,
     }
 
 
-def main():
-    out = run()
-    print(
-        f"devices={out['devices']} 1-dev={out['solves_per_s_1dev']:.0f}/s "
-        f"n-dev={out['solves_per_s_ndev']:.0f}/s efficiency={out['scaling_efficiency']*100:.1f}%"
-    )
+def run_all_engines(per_device_batch: int = 512, horizon: int = 20, reps: int = 3):
+    """One scaling measurement per engine, with packing opts sized to the
+    per-device batch (lanes/tiles must divide it)."""
+    import jax
+
+    lanes = min(128, per_device_batch)
+    tile_l = min(128, per_device_batch)
+    tile_s = max(1, min(8, per_device_batch // tile_l))
+    engines = {
+        "vmap": {},
+        "fast": {"lanes": lanes},
+        "pallas": {"tile_s": tile_s, "tile_l": tile_l},
+    }
+    out = {
+        "backend": jax.default_backend(),
+        "devices": len(jax.devices()),
+        "results": [],
+    }
+    for engine, opts in engines.items():
+        out["results"].append(
+            run(per_device_batch, horizon, reps, engine=engine, **opts)
+        )
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--per-device-batch", type=int, default=512)
+    ap.add_argument("--horizon", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="SCALING.json", help="JSON artifact path")
+    args = ap.parse_args(argv)
+    out = run_all_engines(args.per_device_batch, args.horizon, args.reps)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    for r in out["results"]:
+        print(
+            f"{r['engine']:>6}: devices={r['devices']} "
+            f"1-dev={r['solves_per_s_1dev']:.0f}/s "
+            f"n-dev={r['solves_per_s_ndev']:.0f}/s "
+            f"efficiency={r['scaling_efficiency'] * 100:.1f}%"
+        )
 
 
 if __name__ == "__main__":

@@ -57,12 +57,13 @@ def test_sharded_bank_matches_unsharded():
 
 
 def test_sharded_fast_engine_matches():
-    """The lane-aligned engine under pjit must agree with the vmap engine."""
+    """The lane-aligned engine, shard_map-wrapped over the 8-device mesh,
+    must agree with the vmap engine."""
     prob = _problem(horizon=6)
-    B = 256  # multiple of 128 lanes and of 8 devices
+    B = 256  # 32 scenarios per device
     thetas, U0 = _bank(prob, B, seed=3)
     mesh = make_mesh()
-    fast = make_bank_solver(prob, mesh, engine="fast")
+    fast = make_bank_solver(prob, mesh, engine="fast", lanes=32)
     ref = make_bank_solver(prob, mesh, engine="vmap")
     sols_f, met_f = fast(shard_bank(thetas, mesh), shard_bank(U0, mesh))
     sols_r, met_r = ref(shard_bank(thetas, mesh), shard_bank(U0, mesh))
@@ -72,6 +73,51 @@ def test_sharded_fast_engine_matches():
     np.testing.assert_allclose(
         float(met_f["mean_cost"]), float(met_r["mean_cost"]), rtol=1e-4
     )
+    assert len(sols_f.U.sharding.device_set) == 8
+
+
+def test_sharded_pallas_engine_matches():
+    """The whole-solver Pallas kernel (interpreter mode on CPU),
+    shard_map-wrapped over the 8-device mesh, must agree with vmap."""
+    prob = _problem(horizon=6)
+    B = 64  # 8 scenarios per device = one (2, 4) tile each
+    thetas, U0 = _bank(prob, B, seed=4)
+    mesh = make_mesh()
+    pal = make_bank_solver(prob, mesh, engine="pallas", tile_s=2, tile_l=4)
+    ref = make_bank_solver(prob, mesh, engine="vmap")
+    sols_p, met_p = pal(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    sols_r, met_r = ref(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    np.testing.assert_allclose(np.asarray(sols_p.U), np.asarray(sols_r.U), atol=1e-3)
+    np.testing.assert_allclose(
+        float(met_p["mean_cost"]), float(met_r["mean_cost"]), rtol=1e-4
+    )
+    assert len(sols_p.U.sharding.device_set) == 8
+
+
+def test_sharded_pallas_tracking_engine_matches():
+    """Sharded tracking Pallas kernel == vmap on the 8-device mesh."""
+    from ros2_mpc_tpu.solver import make_tracking
+
+    N = 6
+    prob = make_tracking(PARAMS, horizon=N, settings=FAST, reference_parity=False)
+    B = 32
+    rng = np.random.default_rng(7)
+    ts = np.arange(1, N + 1) * PARAMS.dt
+    x0 = rng.uniform(-0.2, 0.2, size=(B, 3))
+    x_ref = np.stack(
+        [x0[:, 0:1] + 0.15 * ts[None], np.zeros((B, N)), np.zeros((B, N))], axis=2
+    )
+    u_ref = np.tile([0.15, 0.0], (B, N, 1))
+    thetas = jax.vmap(prob.make_theta)(
+        jnp.asarray(x0), jnp.asarray(x_ref), jnp.asarray(u_ref)
+    )
+    U0 = jnp.zeros((B, N, 2))
+    mesh = make_mesh()
+    pal = make_bank_solver(prob, mesh, engine="pallas", tile_s=2, tile_l=2)
+    ref = make_bank_solver(prob, mesh, engine="vmap")
+    sols_p, _ = pal(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    sols_r, _ = ref(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    np.testing.assert_allclose(np.asarray(sols_p.U), np.asarray(sols_r.U), atol=1e-3)
 
 
 def test_host_chip_mesh_2d():

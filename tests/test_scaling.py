@@ -34,11 +34,35 @@ def test_long_horizon_tracking_N256():
 
 
 def test_scaling_bench_harness():
+    """Floor assertion on the virtual CPU mesh. The measurable ceiling here
+    is far below 1.0 by construction: the 1-device baseline already uses both
+    physical cores via XLA's intra-op threadpool, while the 8-virtual-device
+    run adds per-device dispatch/sync on the same two cores (measured
+    ~0.33 at this size, ~0.2-0.4 across engines/batches). The floor guards
+    against partitioning regressions (resharding, accidental replication)
+    that would tank it to ~1/8; the real >= 80% BASELINE target applies to
+    real multi-chip hardware, recorded via scaling_bench.main() artifacts."""
     out = scaling_bench.run(per_device_batch=16, horizon=6, reps=2)
     assert out["devices"] == 8
     assert out["solves_per_s_1dev"] > 0
     assert out["solves_per_s_ndev"] > 0
-    assert 0.0 < out["scaling_efficiency"] <= 1.5  # CPU mesh: harness sanity
+    assert 0.25 <= out["scaling_efficiency"] <= 1.6, out
+
+
+def test_scaling_bench_all_engines(tmp_path):
+    """All three engines run through the harness; artifact schema stable."""
+    import json
+
+    out = scaling_bench.run_all_engines(per_device_batch=8, horizon=5, reps=1)
+    engines = {r["engine"] for r in out["results"]}
+    assert engines == {"vmap", "fast", "pallas"}
+    for r in out["results"]:
+        assert r["solves_per_s_ndev"] > 0, r
+        assert 0.0 < r["scaling_efficiency"] <= 2.0, r
+    # artifact round-trips as JSON
+    p = tmp_path / "scaling.json"
+    p.write_text(json.dumps(out))
+    assert json.loads(p.read_text())["devices"] == 8
 
 
 def test_sweep_cli_prints_table(capsys):
