@@ -133,12 +133,14 @@ class GlobalCostmapNode:
 
 
 def local_main():
-    from .launch import run_sim_stack
+    """Standalone ~10 Hz local-costmap process (local_costmap_publisher.py:38)."""
+    from .live import single_node_main
 
-    run_sim_stack(follower="tracking")
+    single_node_main(LocalCostmapNode, "local_costmap", lambda p: p.local_costmap_period)
 
 
 def global_main():
-    from .launch import run_sim_stack
+    """Standalone global-costmap process (global_costmap_publisher.py:9-50)."""
+    from .live import single_node_main
 
-    run_sim_stack(follower="tracking")
+    single_node_main(GlobalCostmapNode, "global_costmap", lambda p: p.local_costmap_period)

@@ -123,9 +123,13 @@ class GlobalPathPublisherNode:
 
 
 def main():
-    from .launch import run_sim_stack
+    """Standalone global-planner process: replan + publish /smoothed_plan at
+    the reference's ~1 Hz refresh (global_path_publisher.py:70-135)."""
+    from .live import single_node_main
 
-    run_sim_stack(follower="tracking")
+    single_node_main(
+        GlobalPathPublisherNode, "global_planner", lambda p: p.path_refresh_period
+    )
 
 
 if __name__ == "__main__":

@@ -51,6 +51,18 @@ class MapServerNode:
 
 
 def main():
-    from .launch import run_sim_stack
+    """Standalone map-server process: load the packaged map asset (the
+    reference loads maps/map_carto.pgm) and (re)publish /map on
+    subscriber-count changes at 1 Hz (core/map_server.py:25-31)."""
+    import os
 
-    run_sim_stack(follower="tracking")
+    from .live import single_node_main
+
+    maps_dir = os.path.join(os.path.dirname(__file__), "..", "..", "maps")
+    pgm_path = os.environ.get("TPU_MPC_MAP_PGM", os.path.join(maps_dir, "map_synthetic.pgm"))
+    yaml_path = os.environ.get("TPU_MPC_MAP_YAML", os.path.join(maps_dir, "map_synthetic.yaml"))
+    single_node_main(
+        lambda bus, params: MapServerNode(bus, map_pgm_path=pgm_path, map_yaml_path=yaml_path),
+        "map_server_node",
+        lambda p: 1.0,
+    )

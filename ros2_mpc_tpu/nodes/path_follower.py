@@ -170,10 +170,14 @@ class PathFollowerNode:
         }
 
 
-def main():  # console entry (runs against the in-process bus + simulator)
-    from .launch import run_sim_stack
+def main():
+    """Console entry: the flagship tracking control loop on the wall-clock
+    live graph (path_follower_local_planner.py:134-223 semantics at 5 Hz)."""
+    from .live import main as live_main
+    import sys
 
-    run_sim_stack(follower="tracking")
+    sys.argv = [sys.argv[0], "--follower", "tracking", *sys.argv[1:]]
+    live_main()
 
 
 if __name__ == "__main__":

@@ -125,9 +125,13 @@ class PointFollowerNode:
 
 
 def main():
-    from .launch import run_sim_stack
+    """Console entry: the carrot-chasing control loop on the wall-clock live
+    graph (point_follower_local_planner.py:121-231 semantics at 5 Hz)."""
+    from .live import main as live_main
+    import sys
 
-    run_sim_stack(follower="point")
+    sys.argv = [sys.argv[0], "--follower", "point", *sys.argv[1:]]
+    live_main()
 
 
 if __name__ == "__main__":

@@ -130,12 +130,16 @@ class Simulator:
             LaserScan(ranges=np.asarray(ranges), angle_min=-np.pi, angle_max=np.pi),
         )
 
-    def step(self, dt=None):
-        """Advance the plant one control period and republish sensors."""
+    def step(self, dt=None, publish: bool = True):
+        """Advance the plant one control period. ``publish=True`` republishes
+        sensors immediately (the lock-step sim graph); the wall-clock live
+        graph passes ``publish=False`` and paces state/scan on their own
+        timers instead (nodes/live.py)."""
         dt = self.params.dt if dt is None else dt
         self.pose = plant_step(self.pose, self.cmd, dt)
-        self.publish_state()
-        self.publish_scan()
+        if publish:
+            self.publish_state()
+            self.publish_scan()
         return np.asarray(self.pose)
 
     def in_collision(self) -> bool:

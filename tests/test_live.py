@@ -1,0 +1,104 @@
+"""Wall-clock live graph (nodes/live.py): rate pacing, deadline holding, and
+the tf -> /robot_position state chain — the deployment counterpart of
+launch/launch_all.launch.py that the lock-step sim runner does not cover."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ros2_mpc_tpu.config import Params
+from ros2_mpc_tpu.nodes.live import (
+    RateScheduler,
+    SimLocalization,
+    Task,
+    build_live_stack,
+)
+
+
+def test_rate_scheduler_holds_rates():
+    """Tasks with ample budget run at their nominal rates, no misses."""
+    counts = {"a": 0, "b": 0}
+    tasks = [
+        Task("a", 0.01, lambda: counts.__setitem__("a", counts["a"] + 1)),
+        Task("b", 0.05, lambda: counts.__setitem__("b", counts["b"] + 1)),
+    ]
+    stats = RateScheduler(tasks).run(0.5, warmup=False)
+    assert 30 <= stats["tasks"]["a"]["runs"] <= 55
+    assert 6 <= stats["tasks"]["b"]["runs"] <= 11
+    assert stats["tasks"]["a"]["misses"] <= 2
+    assert stats["tasks"]["b"]["misses"] == 0
+
+
+def test_rate_scheduler_slow_task_no_catchup_burst():
+    """A task slower than its period must not fire a catch-up burst: the
+    deadline grid skips ahead instead (max ~1/runtime Hz)."""
+    calls = []
+    tasks = [Task("slow", 0.01, lambda: (calls.append(time.monotonic()), time.sleep(0.05)))]
+    RateScheduler(tasks).run(0.3, warmup=False)
+    gaps = np.diff(calls)
+    assert len(calls) <= 8
+    assert np.all(gaps > 0.04), "back-to-back catch-up burst detected"
+
+
+def test_robot_state_publisher_on_live_data_path():
+    """In the live graph /robot_position comes from the tf chain through
+    RobotStatePublisherNode (robot_state_publisher.py:21-32,57-65), not from
+    the simulator directly."""
+    stack = build_live_stack(follower="point", horizon=8)
+    # before any tick: tf not set, node skips exactly like the reference's
+    # TransformException handler
+    fresh_bus_result = stack.robot_state.tick()
+    assert fresh_bus_result["status"] in ("published", "no_transform")
+    # localizer sets tf, then the node must publish odometry matching sim pose
+    stack.sim.pose = np.array([0.3, -0.7, 0.5])
+    SimLocalization(stack.bus, stack.sim).tick()
+    out = stack.robot_state.tick()
+    assert out["status"] == "published"
+    msg, _ = stack.bus.latest("/robot_position")
+    assert msg.pose.x == pytest.approx(0.3)
+    assert msg.pose.y == pytest.approx(-0.7)
+
+
+def test_run_single_node_costmap_publishes():
+    """The standalone per-node process model (reference setup.py:28-40): a
+    lone costmap node against the simulator source must publish real
+    costmaps at ~10 Hz."""
+    from ros2_mpc_tpu.nodes.costmap_nodes import LocalCostmapNode
+    from ros2_mpc_tpu.nodes.live import run_single_node
+
+    stats = run_single_node(
+        LocalCostmapNode, "local_costmap", lambda p: p.local_costmap_period,
+        duration=1.0,
+    )
+    t = stats["tasks"]["local_costmap"]
+    assert t["runs"] >= 5
+    assert t["mean_runtime_s"] > 1e-4  # real publishes, not waiting_* returns
+
+
+@pytest.mark.slow
+def test_live_graph_paced_soak():
+    """Soak: the full live graph under the wall-clock scheduler reaches a
+    goal while holding the reference's rates (20 Hz state, 10 Hz costmap,
+    5 Hz control) with bounded deadline misses."""
+    params = Params()
+    stack = build_live_stack(follower="point", params=params, horizon=16)
+    stack.publish_goal(0.6, -1.0)
+    t0 = time.monotonic()
+    stats = stack.run(duration=30.0)
+    elapsed = stats["elapsed_s"]
+    assert stats["goal_reached"], f"did not reach goal in {elapsed:.1f}s: {stats}"
+
+    tasks = stats["tasks"]
+    # rates within 25% of nominal (2-core CI box; warmup excluded)
+    assert tasks["robot_state"]["rate_hz"] > 0.75 / params.state_publish_period
+    assert tasks["control"]["rate_hz"] > 0.75 / params.dt
+    assert tasks["local_costmap"]["rate_hz"] > 0.75 / params.local_costmap_period
+    # the 200 ms control deadline holds: misses bounded
+    assert tasks["control"]["misses"] <= tasks["control"]["runs"] * 0.2, tasks["control"]
+    # the state chain actually carried the data: /robot_position seq advanced
+    # at ~20 Hz (well above the 0 it would be if RobotStatePublisherNode were
+    # dead code)
+    _, seq = stack.bus.latest("/robot_position")
+    assert seq >= 0.5 * elapsed / params.state_publish_period
+    assert time.monotonic() - t0 < 40.0
