@@ -17,7 +17,7 @@ from ..ops import costmap as costmapops
 from ..ops import grid as gridops
 from ..planner import AStarPlanner2
 from .bus import MessageBus
-from .reference_gen import get_path_headings, scan_to_world_obstacles
+from .reference_gen import path_yaw_profile, scan_to_world_obstacles
 from .topics import GoalSubscriber, LaserSubscriber, MapSubscriber, OdomSubscriber, PathPublisher
 
 log = logging.getLogger("global_path_publisher")
@@ -111,7 +111,7 @@ class GlobalPathPublisherNode:
             log.error("Goal Unreachable!")
             return {"status": "unreachable"}
         try:
-            path_heading = get_path_headings(path_xy)
+            path_heading = path_yaw_profile(path_xy)
             self.path_publisher.publish_path(path_xy, path_heading)
             if len(path_xy) <= 5:
                 log.info("Goal Reached!")

@@ -35,11 +35,11 @@ from ..solver import (
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
 from .reference_gen import (
-    get_headings,
     get_obstacles,
-    get_reference_trajectory,
+    path_motion_profile,
     scan_to_world_obstacles,
     slew_limited_command,
+    tracking_reference_window,
 )
 from .topics import CmdVelPublisher, GoalSubscriber, LaserSubscriber, OdomSubscriber, RobotController
 
@@ -115,7 +115,7 @@ class PathFollowerNode:
         if path_xy is None or len(path_xy) < 2:
             return {"status": "waiting_for_path"}
 
-        _, path_velocity, path_omega = get_headings(path_xy, p.dt)
+        _, path_velocity, path_omega = path_motion_profile(path_xy, p.dt)
         x0 = np.array([pos[0], pos[1], ori[2]])
         goal_dist = float(np.linalg.norm(x0[:2] - goal[:2]))
         t0 = time.perf_counter()
@@ -129,7 +129,7 @@ class PathFollowerNode:
             U0 = self._point_problem.default_u0
             sol = self._point_solve(theta, U0)
         else:
-            pxf, puf = get_reference_trajectory(
+            pxf, puf = tracking_reference_window(
                 x0, goal, path_xy, path_heading, path_velocity, path_omega, self.N
             )
             theta = self.problem.make_theta(x0, pxf, puf, x_obs, y_obs)

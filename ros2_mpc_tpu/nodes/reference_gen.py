@@ -22,60 +22,84 @@ import numpy as np
 from ..ops import grid as gridops
 
 
-def get_headings(path_xy: np.ndarray, dt: float):
-    """(heading, velocity, omega) finite differences along a path
-    (path_follower_local_planner.py:14-23)."""
-    path_heading = np.arctan2(
-        path_xy[1:, 1] - path_xy[:-1, 1], path_xy[1:, 0] - path_xy[:-1, 0]
-    )
-    path_heading = np.append(path_heading, path_heading[-1])
-    path_omega = (path_heading[1:] - path_heading[:-1]) / 2
-    path_velocity = (np.linalg.norm(path_xy[1:, :] - path_xy[:-1, :], axis=1) / dt) * 2
-    path_velocity = np.append(path_velocity, path_velocity[-1])
-    return path_heading, path_velocity, path_omega
+def _clamped_window(profile: np.ndarray, start: int, length: int) -> np.ndarray:
+    """``length`` consecutive samples of ``profile`` from ``start``, holding
+    the final sample once the window runs off the end."""
+    profile = np.asarray(profile, dtype=float).reshape(len(profile), -1)
+    rows = np.minimum(start + np.arange(length), len(profile) - 1)
+    return profile[rows]
 
 
-def get_path_headings(path_xy: np.ndarray):
-    """Heading-only variant used by the global path publisher
+def path_motion_profile(waypoints: np.ndarray, dt: float):
+    """Per-waypoint (yaw, speed, turn-rate) finite differences along a path.
+
+    Contract (quirk-faithful to path_follower_local_planner.py:14-23): speed
+    is the segment length over ``dt`` *doubled*; turn-rate is the yaw
+    difference *halved* (the reference's empirical gains). Yaw and speed
+    repeat their final sample to match the waypoint count; turn-rate stays
+    one sample short — :func:`tracking_reference_window` clamps it.
+    """
+    steps = np.diff(np.asarray(waypoints, dtype=float), axis=0)
+    yaw = np.arctan2(steps[:, 1], steps[:, 0])
+    yaw = np.concatenate([yaw, yaw[-1:]])
+    turn_rate = np.diff(yaw) / 2.0
+    speed = np.hypot(steps[:, 0], steps[:, 1]) / dt * 2.0
+    speed = np.concatenate([speed, speed[-1:]])
+    return yaw, speed, turn_rate
+
+
+def path_yaw_profile(waypoints: np.ndarray) -> np.ndarray:
+    """Segment yaw per waypoint, final sample repeated — the heading the
+    global path publisher attaches to each pose
     (scripts/global_path_publisher.py:13-25)."""
-    path_heading = np.arctan2(np.diff(path_xy[:, 1]), np.diff(path_xy[:, 0]))
-    return np.append(path_heading, path_heading[-1])
+    yaw, _, _ = path_motion_profile(np.asarray(waypoints, dtype=float), dt=1.0)
+    return yaw
+
+
+def tracking_reference_window(state, goal, waypoints, yaw, speed, turn_rate, horizon: int):
+    """Reference window (pxf, puf) for the tracking MPC, flattened to the
+    column-vector layout the solver's parameter pack expects.
+
+    Contract (path_follower_local_planner.py:26-73):
+    * the window anchors at the waypoint nearest the robot;
+    * within 0.5 m of the final waypoint the state reference collapses to
+      ``horizon`` copies of the goal pose (terminal latch);
+    * windows running past the end of any profile hold its final sample.
+    """
+    waypoints = np.asarray(waypoints, dtype=float).reshape(-1, 2)
+    pos = np.asarray(state, dtype=float)[:2]
+    anchor = int(np.argmin(np.linalg.norm(waypoints - pos, axis=1)))
+
+    if np.linalg.norm(pos - waypoints[-1]) < 0.5:
+        x_ref = np.tile(np.asarray(goal, dtype=float)[:3], horizon)
+    else:
+        x_ref = np.column_stack(
+            (
+                _clamped_window(waypoints, anchor, horizon),
+                _clamped_window(np.asarray(yaw).reshape(-1), anchor, horizon),
+            )
+        ).ravel()
+
+    u_ref = np.column_stack(
+        (
+            _clamped_window(np.asarray(speed).reshape(-1), anchor, horizon),
+            _clamped_window(np.asarray(turn_rate).reshape(-1), anchor, horizon),
+        )
+    ).ravel()
+    return x_ref.reshape(-1, 1), u_ref.reshape(-1, 1)
+
+
+# Reference-parity aliases (the upstream helper names; compat surface).
+get_headings = path_motion_profile
+get_path_headings = path_yaw_profile
 
 
 def get_reference_trajectory(x0, goal, path_xy, path_heading, path_velocity, path_omega, N):
-    """Time-varying reference (pxf, puf) for the tracking MPC
-    (path_follower_local_planner.py:26-73): nearest-point anchoring, goal
-    tiling within 0.5 m of the path end, last-element padding."""
-    path_heading = np.asarray(path_heading).reshape(-1)
-    nearest_point = int(np.argmin(np.linalg.norm(x0[0:2] - path_xy, axis=1)))
-    if np.linalg.norm(x0[0:2] - path_xy[-1, :]) < 0.5:
-        pxf = np.tile(goal[:3], N).reshape(-1, 1)
-    else:
-        if nearest_point + N > len(path_xy):
-            deficit = N - len(path_xy[nearest_point:])
-            path_xy = np.append(
-                path_xy, np.transpose(np.repeat(path_xy[-1, :], deficit).reshape(2, -1)), axis=0
-            )
-            deficit_h = N - len(path_heading[nearest_point:])
-            path_heading = np.append(path_heading, np.repeat(path_heading[-1], deficit_h))
-        pxf = np.column_stack(
-            (path_xy[nearest_point : nearest_point + N, :], path_heading[nearest_point : nearest_point + N])
-        )
-        pxf = pxf.flatten().reshape(-1, 1)
-
-    if len(path_velocity) != len(path_omega):
-        deficit = len(path_velocity) - len(path_omega)
-        path_omega = np.append(path_omega, np.repeat(path_omega[-1], deficit))
-    if nearest_point + N > len(path_velocity):
-        deficit_v = N - len(path_velocity[nearest_point:])
-        path_velocity = np.append(path_velocity, np.repeat(path_velocity[-1], deficit_v))
-        deficit_w = N - len(path_omega[nearest_point:])
-        path_omega = np.append(path_omega, np.repeat(path_omega[-1], deficit_w))
-    puf = np.column_stack(
-        (path_velocity[nearest_point : nearest_point + N], path_omega[nearest_point : nearest_point + N])
+    """Reference-parity alias for :func:`tracking_reference_window` with the
+    upstream argument order."""
+    return tracking_reference_window(
+        x0, goal, path_xy, path_heading, path_velocity, path_omega, N
     )
-    puf = puf.flatten().reshape(-1, 1)
-    return pxf, puf
 
 
 def get_goal_for_mpc(path_xy, path_heading, goal, pos, lookahead_dist: float = 0.5):

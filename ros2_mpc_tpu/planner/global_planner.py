@@ -81,20 +81,24 @@ class AStarPlanner2:
         self.poly_degree = 4
 
     def get_path(self, start, goal, map_image):
-        map_image = np.asarray(map_image).copy()
-        map_image[map_image == 1] = 255
-        map_image[map_image == 0] = 1
-        weights = map_image.astype(np.float32)
-        path = astar_path(weights, tuple(start), tuple(goal), allow_diagonal=False)
-        if path.shape[0] == 0:
+        occ = np.asarray(map_image)
+        # Occupied cells stay *passable* but 255x the free-cell weight, so a
+        # walled-in goal still yields some path (reference contract :88-90).
+        weights = np.select([occ == 1, occ == 0], [255.0, 1.0], occ).astype(np.float32)
+        cells = astar_path(weights, tuple(start), tuple(goal), allow_diagonal=False)
+        if cells.shape[0] == 0:
             return []
-        x = np.array(path[:, 1])
-        y = np.array(path[:, 0])
+        rows = self._smooth_rows(cells[:, 0].astype(float))
+        return [(r, c) for r, c in zip(rows, cells[:, 1])]
+
+    def _smooth_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Savitzky-Golay filter over the row coordinate only (the reference
+        leaves columns raw); too-short paths pass through unsmoothed (the
+        reference's ValueError fallback, :96-99)."""
         try:
-            smoothed_y = savgol_filter(y, self.window_size, self.poly_degree, mode="interp")
+            return savgol_filter(rows, self.window_size, self.poly_degree, mode="interp")
         except ValueError:
-            smoothed_y = y
-        return list(zip(smoothed_y, x))
+            return rows
 
 
 class AstarGlobalPlanner:

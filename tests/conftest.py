@@ -6,8 +6,10 @@ the environment must be set before the first ``import jax`` anywhere.
 
 import os
 
-# The ambient environment pins JAX_PLATFORMS=axon (the tunneled TPU); tests
-# must run on the virtual CPU mesh, so override unconditionally.
+# The ambient environment pins JAX_PLATFORMS=axon (the tunneled TPU) and its
+# sitecustomize imports jax at interpreter start, so env-var overrides here
+# are too late for jax's config snapshot. Force the platform through
+# jax.config instead; XLA_FLAGS is still read lazily at first backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -15,4 +17,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

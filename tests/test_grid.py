@@ -15,7 +15,8 @@ def ref_scan_to_occ(ranges, angles, res, size, rotation=0.0):
     x = ranges * np.cos(a)
     y = ranges * np.sin(a)
     rot = np.array([[np.cos(rotation), -np.sin(rotation)], [np.sin(rotation), np.cos(rotation)]])
-    x, y = rot @ np.vstack([x, y])
+    with np.errstate(invalid="ignore"):  # NaN/inf beams rotate like the reference loop
+        x, y = rot @ np.vstack([x, y])
     x = np.where(np.isnan(x), 0.0, x)
     y = np.where(np.isnan(y), 0.0, y)
     x = np.where(np.isinf(x), np.max(x[~np.isinf(x)]), x)
