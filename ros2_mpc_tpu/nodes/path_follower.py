@@ -35,13 +35,21 @@ from ..solver import (
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
 from .reference_gen import (
+    StaticStructureFilter,
     get_obstacles,
     path_motion_profile,
     scan_to_world_obstacles,
     slew_limited_command,
     tracking_reference_window,
 )
-from .topics import CmdVelPublisher, GoalSubscriber, LaserSubscriber, OdomSubscriber, RobotController
+from .topics import (
+    CmdVelPublisher,
+    GoalSubscriber,
+    LaserSubscriber,
+    MapSubscriber,
+    OdomSubscriber,
+    RobotController,
+)
 
 
 class PathFollowerNode:
@@ -60,6 +68,8 @@ class PathFollowerNode:
         self.cmd_vel_publisher = CmdVelPublisher(bus)
         self.goal_listener = GoalSubscriber(bus)
         self.laser_node = LaserSubscriber(bus)
+        # corrected mode: live obstacle costs see only *unmapped* returns
+        self.static_filter = None if reference_parity else StaticStructureFilter(MapSubscriber(bus))
         if settings is None:
             # warm-started ticks converge on the short RTI-style schedule;
             # parity mode re-zeroes the guess each tick (quirk #3) and keeps
@@ -106,8 +116,10 @@ class PathFollowerNode:
                 p.n_obstacle_points, normalized=False,
             )
         else:
+            mask, map_info = self.static_filter.current()
             x_obs, y_obs = scan_to_world_obstacles(
-                scan_data, angles, p.costmap_size, pos, ori[2], p.n_obstacle_points
+                scan_data, angles, p.costmap_size, pos, ori[2], p.n_obstacle_points,
+                static_mask=mask, map_info=map_info,
             )
         if now - self._path_fetch_time > p.path_refresh_period:
             self._path_fetch_time = now

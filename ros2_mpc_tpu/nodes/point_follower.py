@@ -14,6 +14,7 @@ from ..solver import SolverSettings, make_point_stabilization, shift_controls
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
 from .reference_gen import (
+    StaticStructureFilter,
     get_goal_for_mpc,
     get_obstacles,
     scan_to_world_obstacles,
@@ -24,6 +25,7 @@ from .topics import (
     GoalPointPublisher,
     GoalSubscriber,
     LaserSubscriber,
+    MapSubscriber,
     OdomSubscriber,
     RobotController,
 )
@@ -46,6 +48,8 @@ class PointFollowerNode:
         self.goal_listener = GoalSubscriber(bus)
         self.laser_node = LaserSubscriber(bus)
         self.goal_point_publisher = GoalPointPublisher(bus)
+        # corrected mode: live obstacle costs see only *unmapped* returns
+        self.static_filter = None if reference_parity else StaticStructureFilter(MapSubscriber(bus))
         if settings is None:
             settings = SolverSettings() if reference_parity else SolverSettings.realtime()
         self.problem = make_point_stabilization(
@@ -76,8 +80,10 @@ class PointFollowerNode:
                 p.n_obstacle_points, normalized=True,
             )
         else:
+            mask, map_info = self.static_filter.current()
             x_obs, y_obs = scan_to_world_obstacles(
-                scan_data, angles, p.costmap_size, pos, ori[2], p.n_obstacle_points
+                scan_data, angles, p.costmap_size, pos, ori[2], p.n_obstacle_points,
+                static_mask=mask, map_info=map_info,
             )
         path_xy, path_headings = self.robot_controller.get_path()
         if path_xy is None or len(path_xy) < 1:

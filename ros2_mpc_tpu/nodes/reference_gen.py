@@ -163,6 +163,30 @@ def get_obstacles(
     return x_arr, y_arr
 
 
+def mapped_structure_mask(map_image: np.ndarray, dilate_cells: int = 3) -> np.ndarray:
+    """Boolean mask of cells on (or within ``dilate_cells`` of) mapped
+    structure, from a MapSubscriber-processed binary image (occupied 255).
+
+    Used to restrict the MPC's live obstacle set to *unmapped* returns: the
+    global planner + costmap inflation already own the static walls, and
+    feeding wall returns to the soft obstacle cost creates potential-field
+    equilibria that stall the solver in doorways and wall-adjacent goals.
+    The dilation absorbs localization error and scan/grid discretization."""
+    occ = np.asarray(map_image) > 0
+    if dilate_cells <= 0:
+        return occ
+    out = occ.copy()
+    padded = np.pad(occ, dilate_cells, mode="edge")
+    h, w = occ.shape
+    for dr in range(-dilate_cells, dilate_cells + 1):
+        for dc in range(-dilate_cells, dilate_cells + 1):
+            out |= padded[
+                dilate_cells + dr : dilate_cells + dr + h,
+                dilate_cells + dc : dilate_cells + dc + w,
+            ]
+    return out
+
+
 def scan_to_world_obstacles(
     scan_data,
     angles,
@@ -170,6 +194,8 @@ def scan_to_world_obstacles(
     pos,
     yaw,
     n_obstacle_points: int,
+    static_mask: np.ndarray | None = None,
+    map_info: dict | None = None,
 ):
     """Corrected obstacle extraction: world-frame obstacle points straight
     from scan polar geometry, restricted to the local costmap window.
@@ -190,15 +216,56 @@ def scan_to_world_obstacles(
     keep = np.isfinite(wx) & np.isfinite(wy)
     keep &= (np.abs(wx - pos[0]) <= size) & (np.abs(wy - pos[1]) <= size)
     wx, wy = wx[keep], wy[keep]
+    if static_mask is not None and map_info is not None and len(wx):
+        # Keep only *unmapped* returns (see mapped_structure_mask).
+        res = float(map_info["resolution"])
+        origin = np.asarray(map_info["origin"], dtype=float)
+        h, w = static_mask.shape
+        col = ((wx - origin[0]) / res).astype(int)
+        row = h - 1 - ((wy - origin[1]) / res).astype(int)
+        inside = (col >= 0) & (col < w) & (row >= 0) & (row < h)
+        mapped = np.zeros(len(wx), dtype=bool)
+        mapped[inside] = static_mask[row[inside], col[inside]]
+        wx, wy = wx[~mapped], wy[~mapped]
+    # When the scan returns more points than the parameter vector holds, keep
+    # the *nearest* ones — they carry the collision risk. Truncating in beam
+    # order instead (the reference's layout) keeps a half-view whose covered
+    # side swings as the robot rotates; with live obstacle costs that feedback
+    # oscillates the solver in narrow corridors.
+    if len(wx) > n_obstacle_points:
+        nearest = np.argpartition(np.hypot(wx - pos[0], wy - pos[1]), n_obstacle_points - 1)
+        wx, wy = wx[nearest[:n_obstacle_points]], wy[nearest[:n_obstacle_points]]
     # Pad with far sentinels — NOT the reference's first-obstacle broadcast
     # (quirk #10), which multiplies one real point's soft-cost weight ~160x
     # and repels the robot from phantom mass once obstacle costs are live.
     x_arr = np.full(n_obstacle_points, 100.0)
     y_arr = np.full(n_obstacle_points, 100.0)
-    m = min(len(wx), n_obstacle_points)
-    x_arr[:m] = wx[:m]
-    y_arr[:m] = wy[:m]
+    x_arr[: len(wx)] = wx
+    y_arr[: len(wy)] = wy
     return x_arr, y_arr
+
+
+class StaticStructureFilter:
+    """Per-node cache of the dilated mapped-structure mask (corrected-mode
+    followers): recomputed only when a new /map message arrives."""
+
+    def __init__(self, map_node, dilate_cells: int = 3):
+        self.map_node = map_node
+        self.dilate_cells = dilate_cells
+        self._source = None
+        self._mask = None
+        self._info = None
+
+    def current(self):
+        """(mask, map_info) or (None, None) before the first map message."""
+        img, info = self.map_node.get_map()
+        if img is None:
+            return None, None
+        if img is not self._source:
+            self._mask = mapped_structure_mask(img, self.dilate_cells)
+            self._source = img
+            self._info = info
+        return self._mask, self._info
 
 
 def slew_limited_command(u, u_last, slew: float):

@@ -1,0 +1,65 @@
+"""Closed-loop navigation on the reference's cartographer-built map.
+
+The reference ships maps/map_carto.pgm (224x314 cells @ 0.05 m, trinary) as
+its real-world asset; the binary is NOT copied into this repo — it is loaded
+read-only from /root/reference at test time and the tests skip when absent.
+Routes cross doorways and room boundaries with scan-aware replanning and the
+corrected-mode live obstacle costs on.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ros2_mpc_tpu.nodes.launch import build_sim_stack
+from ros2_mpc_tpu.utils import pgm
+
+CARTO_PGM = "/root/reference/maps/map_carto.pgm"
+CARTO_YAML = "/root/reference/maps/map_carto.yaml"
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.exists(CARTO_PGM), reason="reference map not present"),
+]
+
+
+@pytest.fixture(scope="module")
+def carto():
+    img = pgm.read_pgm(CARTO_PGM)
+    meta = pgm.load_map_yaml(CARTO_YAML)
+    return img, {"resolution": meta["resolution"], "origin": meta["origin"]}
+
+
+# Three routes through distinct doorways/corridors of the real map:
+# 1. east through the narrow vertical-wall doorway near (3.0, -0.5);
+# 2. west out of the big room, through the upper gap, south down the left wing;
+# 3. north along the left wing corridor into the upper rooms.
+PAIRS = [
+    ((1.8, -0.4, 0.0), (4.2, -0.4)),
+    ((-0.2, 2.8, np.pi), (-3.6, 0.5)),
+    ((-3.6, -3.0, np.pi / 2), (-3.6, 1.0)),
+]
+
+
+@pytest.mark.parametrize("start,goal", PAIRS)
+def test_point_follower_navigates_carto_map(carto, start, goal):
+    img, info = carto
+    stack = build_sim_stack(
+        follower="point", map_image=img, map_info=info, start_pose=start, horizon=20
+    )
+    reached, ticks, pose = stack.run_to_goal(goal, max_ticks=700)
+    assert reached, f"stalled at {np.round(pose, 2)} after {ticks} ticks"
+    assert not stack.sim.in_collision()
+    assert np.linalg.norm(np.asarray(pose[:2]) - np.asarray(goal)) <= stack.params.goal_threshold + 0.1
+
+
+def test_tracking_follower_navigates_carto_map(carto):
+    img, info = carto
+    stack = build_sim_stack(
+        follower="tracking", map_image=img, map_info=info,
+        start_pose=(1.8, -0.4, 0.0), horizon=20,
+    )
+    reached, ticks, pose = stack.run_to_goal((4.2, -0.4), max_ticks=700)
+    assert reached, f"stalled at {np.round(pose, 2)} after {ticks} ticks"
+    assert not stack.sim.in_collision()
