@@ -135,6 +135,121 @@ def main():
         lat_w.append(time.perf_counter() - t0)
     lat_w = np.asarray(lat_w)
 
+    secondary = {}
+
+    # --- Corrected (obstacle-active) mode: same compiled bank program — the
+    # obstacle weight/gain are runtime theta values — with real obstacle
+    # clusters near each scenario's start-goal line
+    # (local_planner_point_stabilization.py:60-67 made live).
+    try:
+        prob_c = make_point_stabilization(params, horizon=N_HORIZON, reference_parity=False)
+        n_obs = params.n_obstacle_points
+        obs_x = np.full((BATCH, n_obs), 100.0)
+        obs_y = np.full((BATCH, n_obs), 100.0)
+        mid = (x0[:, :2] + goal[:, :2]) / 2
+        for j in range(3):
+            pts = mid + rng.uniform(-0.4, 0.4, size=(BATCH, 2))
+            d = np.linalg.norm(pts - x0[:, :2], axis=1, keepdims=True)
+            pts = np.where(d < 0.3, pts + 0.3, pts)  # keep off the start disc
+            obs_x[:, j] = pts[:, 0]
+            obs_y[:, j] = pts[:, 1]
+        thetas_c = jax.vmap(prob_c.make_theta)(
+            jnp.asarray(x0), jnp.asarray(goal), jnp.asarray(obs_x), jnp.asarray(obs_y)
+        )
+        sols_c = solve(thetas_c, U0)
+        jax.block_until_ready(sols_c)
+        tc = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sols_c = solve(thetas_c, U0)
+            jax.block_until_ready(sols_c)
+            tc.append(time.perf_counter() - t0)
+        secondary["corrected_obstacle_solves_per_s"] = round(BATCH / min(tc), 1)
+        secondary["corrected_obstacle_converged_frac"] = round(
+            float(jnp.mean(sols_c.converged.astype(jnp.float32))), 4
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"corrected-mode bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # --- Tracking-problem bank (Pallas tracking kernel, XLA fallback).
+    try:
+        from ros2_mpc_tpu.solver import make_tracking
+
+        prob_t = make_tracking(params, horizon=N_HORIZON)
+        ts = (np.arange(1, N_HORIZON + 1) * params.dt)[None, :, None]
+        speed = rng.uniform(0.05, 0.2, size=(BATCH, 1, 1))
+        x_ref = np.concatenate(
+            [speed * ts, np.zeros((BATCH, N_HORIZON, 1)), np.zeros((BATCH, N_HORIZON, 1))], axis=2
+        )
+        u_ref = np.concatenate(
+            [np.broadcast_to(speed, (BATCH, N_HORIZON, 1)), np.zeros((BATCH, N_HORIZON, 1))], axis=2
+        )
+        thetas_t = jax.vmap(prob_t.make_theta)(
+            jnp.asarray(rng.uniform(-0.1, 0.1, size=(BATCH, 3))),
+            jnp.asarray(x_ref),
+            jnp.asarray(u_ref),
+        )
+        try:
+            from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_tracking_solver
+
+            solve_t = jax.jit(make_pallas_tracking_solver(prob_t.ocp, prob_t.settings))
+            engine_t = "pallas"
+            sols_t = solve_t(thetas_t, U0)
+            jax.block_until_ready(sols_t)
+        except Exception:  # noqa: BLE001
+            solve_t = jax.jit(make_bank_solver_fast(prob_t.ocp, prob_t.settings))
+            engine_t = "xla_bank"
+            sols_t = solve_t(thetas_t, U0)
+            jax.block_until_ready(sols_t)
+        tt = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sols_t = solve_t(thetas_t, U0)
+            jax.block_until_ready(sols_t)
+            tt.append(time.perf_counter() - t0)
+        secondary["tracking_solves_per_s"] = round(BATCH / min(tt), 1)
+        secondary["tracking_engine"] = engine_t
+        secondary["tracking_converged_frac"] = round(
+            float(jnp.mean(sols_t.converged.astype(jnp.float32))), 4
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"tracking bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # --- Device-resident single-robot control loop (fleet lax.scan at B=1):
+    # solve -> actuate -> shift with zero per-tick dispatch. The gap between
+    # this and warm_p50 is pure host-relay dispatch cost (ROADMAP item 3).
+    try:
+        from ros2_mpc_tpu.solver.packed import device_tick_rate
+
+        dev_tick_s = device_tick_rate(prob_rt, n_ticks=64, dt=params.dt)
+        secondary["tick_device_resident_ms"] = round(dev_tick_s * 1e3, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"device-resident tick bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # --- Packed single-tick (one H2D transfer, the live follower path).
+    try:
+        from ros2_mpc_tpu.solver.packed import make_packed_point_stab
+
+        solve_pk, pack = make_packed_point_stab(prob_rt, params)
+        solve_pk = jax.jit(solve_pk)
+        vec = pack(x0[0], goal[0], np.full(params.n_obstacle_points, 100.0),
+                   np.full(params.n_obstacle_points, 100.0))
+        Uw1 = np.asarray(U_warm[0])
+        jax.block_until_ready(solve_pk(vec, Uw1))
+        lp = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            jax.block_until_ready(solve_pk(vec, Uw1))
+            lp.append(time.perf_counter() - t0)
+        secondary["tick_packed_warm_p50_ms"] = round(float(np.percentile(lp, 50)) * 1e3, 2)
+        secondary["tick_packed_warm_p99_ms"] = round(float(np.percentile(lp, 99)) * 1e3, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"packed tick bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    secondary["tick_warm_p50_ms"] = round(float(np.percentile(lat_w, 50)) * 1e3, 2)
+    secondary["tick_warm_p99_ms"] = round(float(np.percentile(lat_w, 99)) * 1e3, 2)
+    secondary["tick_cold_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)
+
     print(
         f"engine={engine} batch={BATCH} N={N_HORIZON} t_batch(best)={best*1e3:.2f} ms "
         f"p50={np.median(times)*1e3:.2f} ms per-solve={best/BATCH*1e6:.2f} us "
@@ -142,7 +257,8 @@ def main():
         f"tick_latency_cold_p50={np.percentile(lat,50)*1e3:.2f}ms "
         f"p99={np.percentile(lat,99)*1e3:.2f}ms "
         f"warm_p50={np.percentile(lat_w,50)*1e3:.2f}ms "
-        f"warm_p99={np.percentile(lat_w,99)*1e3:.2f}ms (budget 200ms)",
+        f"warm_p99={np.percentile(lat_w,99)*1e3:.2f}ms (budget 200ms) "
+        f"secondary={secondary}",
         file=sys.stderr,
     )
 
@@ -153,6 +269,7 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / TARGET_SOLVES_PER_S, 3),
+                "secondary": secondary,
             }
         )
     )

@@ -193,6 +193,8 @@ def build_live_stack(
     start_pose=(-1.0, -1.0, 0.0),
     horizon: Optional[int] = None,
     global_costmap: bool = True,
+    viz_dir: Optional[str] = None,
+    viz_period: float = 1.0,
 ) -> LiveStack:
     """Assemble the live-config node graph (launch_all.launch.py:8-64:
     follower + global path publisher + robot state publisher + both costmap
@@ -245,6 +247,10 @@ def build_live_stack(
     if global_costmap:
         gc = GlobalCostmapNode(bus, params)
         tasks.append(Task("global_costmap", params.local_costmap_period, gc.tick))
+    if viz_dir is not None:
+        from .viz_node import LiveVizNode
+
+        tasks.append(Task("viz", viz_period, LiveVizNode(bus, out_dir=viz_dir).tick))
 
     stack = LiveStack(
         bus=bus,
@@ -338,11 +344,12 @@ def run_live(
     duration: float = 60.0,
     goal=(1.0, -1.0),
     source: str = "sim",
+    viz_dir: Optional[str] = None,
 ) -> dict:
     """Console entry: run the live graph until the goal latches or the time
     budget expires; log per-task rate/deadline stats."""
     logging.basicConfig(level=logging.INFO)
-    stack = build_live_stack(follower=follower, source=source, horizon=20)
+    stack = build_live_stack(follower=follower, source=source, horizon=20, viz_dir=viz_dir)
     stack.publish_goal(goal[0], goal[1])
     stats = stack.run(duration)
     for name, s in stats["tasks"].items():
@@ -367,8 +374,12 @@ def main():
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--goal", type=float, nargs=2, default=(1.0, -1.0))
     ap.add_argument("--source", default="sim", choices=["sim", "ros"])
+    ap.add_argument(
+        "--viz", default=None, metavar="DIR",
+        help="render the running stack to DIR/latest.png at 1 Hz (RViz surrogate)",
+    )
     args = ap.parse_args()
-    stats = run_live(args.follower, args.duration, tuple(args.goal), args.source)
+    stats = run_live(args.follower, args.duration, tuple(args.goal), args.source, args.viz)
     raise SystemExit(0 if stats["goal_reached"] else 1)
 
 

@@ -32,6 +32,7 @@ from ..solver import (
     make_tracking,
     shift_controls,
 )
+from ..solver.packed import make_packed_point_stab, make_packed_tracking
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
 from .reference_gen import (
@@ -79,14 +80,17 @@ class PathFollowerNode:
             params, reference_parity=reference_parity, horizon=horizon, settings=settings
         )
         self.N = self.problem.ocp.horizon
-        self._solve = jax.jit(self.problem.solve)
+        # Packed-theta path: one host->device transfer per tick (solver/packed.py).
+        solve_packed, self._pack = make_packed_tracking(self.problem, params)
+        self._solve = jax.jit(solve_packed)
         # Goal-approach handoff problem (corrected mode): see module docstring.
         # Doubled horizon so a full low-omega turn fits inside the plan.
         self.handoff_radius = 0.0 if reference_parity else 2.0 * params.look_ahead_distance
         self._point_problem = make_point_stabilization(
             params, reference_parity=reference_parity, horizon=2 * self.N, settings=settings
         )
-        self._point_solve = jax.jit(self._point_problem.solve)
+        point_packed, self._point_pack = make_packed_point_stab(self._point_problem, params)
+        self._point_solve = jax.jit(point_packed)
         # quirk #9: the reference hardcodes a 0.15 m latch, ignoring its own
         # goal_threshold param (0.2); corrected mode honors the param.
         self.goal_radius = params.tracking_goal_radius if reference_parity else params.goal_threshold
@@ -133,20 +137,19 @@ class PathFollowerNode:
         t0 = time.perf_counter()
         if goal_dist < self.handoff_radius:
             # point-stabilization handoff on the exact goal pose
-            theta = self._point_problem.make_theta(
+            packed = self._point_pack(
                 np.array([x0[0], x0[1], x0[2] % (2 * np.pi)]),
                 np.array([goal[0], goal[1], goal[4] % (2 * np.pi)]),
                 x_obs, y_obs,
             )
-            U0 = self._point_problem.default_u0
-            sol = self._point_solve(theta, U0)
+            sol = self._point_solve(packed, self._point_problem.default_u0)
         else:
             pxf, puf = tracking_reference_window(
                 x0, goal, path_xy, path_heading, path_velocity, path_omega, self.N
             )
-            theta = self.problem.make_theta(x0, pxf, puf, x_obs, y_obs)
+            packed = self._pack(x0, pxf, puf, x_obs, y_obs)
             U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
-            sol = self._solve(theta, U0)
+            sol = self._solve(packed, U0)
         solve_s = time.perf_counter() - t0
         u = np.asarray(sol.U[0])
         if not np.all(np.isfinite(u)):

@@ -11,6 +11,7 @@ import numpy as np
 
 from ..config import Params
 from ..solver import SolverSettings, make_point_stabilization, shift_controls
+from ..solver.packed import make_packed_point_stab
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
 from .reference_gen import (
@@ -56,7 +57,9 @@ class PointFollowerNode:
             params, reference_parity=reference_parity, horizon=horizon, settings=settings
         )
         self.N = self.problem.ocp.horizon
-        self._solve = jax.jit(self.problem.solve)
+        # Packed-theta path: one host->device transfer per tick (solver/packed.py).
+        solve_packed, self._pack = make_packed_point_stab(self.problem, params)
+        self._solve = jax.jit(solve_packed)
         self.u_warm = self.problem.default_u0
         self.u_last = np.zeros(2)
         self.goal_flag = False
@@ -94,10 +97,10 @@ class PointFollowerNode:
         goal_mpc = get_goal_for_mpc(path_xy, path_headings, goal, pos, p.look_ahead_distance)
         self.goal_point_publisher.publish_goal_point(goal_mpc)
 
-        theta = self.problem.make_theta(x0, goal_mpc, x_obs, y_obs)
+        packed = self._pack(x0, goal_mpc, x_obs, y_obs)
         U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
         t0 = time.perf_counter()
-        sol = self._solve(theta, U0)
+        sol = self._solve(packed, U0)
         solve_s = time.perf_counter() - t0
         u = np.asarray(sol.U[0])
         if not np.all(np.isfinite(u)):

@@ -102,3 +102,17 @@ def test_live_graph_paced_soak():
     _, seq = stack.bus.latest("/robot_position")
     assert seq >= 0.5 * elapsed / params.state_publish_period
     assert time.monotonic() - t0 < 40.0
+
+
+def test_live_viz_renders_frames(tmp_path):
+    """The RViz-surrogate viz node renders valid PNG frames from live topics
+    (config/rviz_config.rviz capability; VERDICT round-1 missing #4)."""
+    from ros2_mpc_tpu.nodes.live import build_live_stack
+
+    stack = build_live_stack(follower="point", viz_dir=str(tmp_path), viz_period=0.2)
+    stack.publish_goal(1.0, -1.0)
+    stack.run(duration=2.0, stop_on_goal=False)
+    out = tmp_path / "latest.png"
+    assert out.exists()
+    data = out.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 1000

@@ -203,3 +203,28 @@ def test_corrected_point_stab_with_active_obstacles_matches_oracle():
     assert float(sol.cost) <= J_ref + 1e-4
     err = np.max(np.abs(np.asarray(sol.U) - U_ref))
     assert err <= 2e-3, f"control drift {err:.2e} (J={float(sol.cost):.6f} vs {J_ref:.6f})"
+
+
+def test_packed_solve_matches_dict_theta(point_stab, tracking):
+    """solver/packed.py: the single-transfer packed path must be bit-identical
+    to the dict-theta path for both live formulations."""
+    from ros2_mpc_tpu.solver.packed import make_packed_point_stab, make_packed_tracking
+
+    rng = np.random.default_rng(5)
+    x0 = rng.uniform(-0.3, 0.3, 3)
+    goal = rng.uniform(-1, 1, 3)
+    obs_x = np.full(PARAMS.n_obstacle_points, 100.0)
+    obs_y = np.full(PARAMS.n_obstacle_points, 100.0)
+    obs_x[:2], obs_y[:2] = [0.4, 0.5], [0.2, -0.2]
+
+    solve_p, pack = make_packed_point_stab(point_stab, PARAMS)
+    ref = jax.jit(point_stab.solve)(point_stab.make_theta(x0, goal, obs_x, obs_y), point_stab.default_u0)
+    got = jax.jit(solve_p)(pack(x0, goal, obs_x, obs_y), point_stab.default_u0)
+    np.testing.assert_array_equal(np.asarray(got.U), np.asarray(ref.U))
+
+    x_ref = np.cumsum(np.tile([0.03, 0.0, 0.0], (N, 1)), axis=0)
+    u_ref = np.tile([0.15, 0.0], (N, 1))
+    solve_t, pack_t = make_packed_tracking(tracking, PARAMS)
+    ref2 = jax.jit(tracking.solve)(tracking.make_theta(x0, x_ref, u_ref, obs_x, obs_y), tracking.default_u0)
+    got2 = jax.jit(solve_t)(pack_t(x0, x_ref, u_ref, obs_x, obs_y), tracking.default_u0)
+    np.testing.assert_array_equal(np.asarray(got2.U), np.asarray(ref2.U))
