@@ -30,7 +30,6 @@ from ..solver import (
     SolverSettings,
     make_point_stabilization,
     make_tracking,
-    shift_controls,
 )
 from ..solver.packed import make_packed_point_stab, make_packed_tracking
 from ..utils.telemetry import Telemetry
@@ -142,21 +141,22 @@ class PathFollowerNode:
                 np.array([goal[0], goal[1], goal[4] % (2 * np.pi)]),
                 x_obs, y_obs,
             )
-            sol = self._point_solve(packed, self._point_problem.default_u0)
+            sol, u_warm_next = self._point_solve(packed, self._point_problem.default_u0)
         else:
             pxf, puf = tracking_reference_window(
                 x0, goal, path_xy, path_heading, path_velocity, path_omega, self.N
             )
             packed = self._pack(x0, pxf, puf, x_obs, y_obs)
             U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
-            sol = self._solve(packed, U0)
+            sol, u_warm_next = self._solve(packed, U0)
         solve_s = time.perf_counter() - t0
         u = np.asarray(sol.U[0])
         if not np.all(np.isfinite(u)):
             u = self.u_last  # graceful degradation, not a crash
         else:
-            # handoff solves carry a 2N-horizon: keep the first N as warm start
-            self.u_warm = shift_controls(sol.U)[: self.N]
+            # device-resident warm start, shifted inside the jit; handoff
+            # solves carry a 2N-horizon, so keep the first N
+            self.u_warm = u_warm_next[: self.N]
         self.telemetry.record(
             solve_s=solve_s,
             kkt=float(sol.kkt_residual),

@@ -10,7 +10,7 @@ import jax
 import numpy as np
 
 from ..config import Params
-from ..solver import SolverSettings, make_point_stabilization, shift_controls
+from ..solver import SolverSettings, make_point_stabilization
 from ..solver.packed import make_packed_point_stab
 from ..utils.telemetry import Telemetry
 from .bus import MessageBus
@@ -100,13 +100,13 @@ class PointFollowerNode:
         packed = self._pack(x0, goal_mpc, x_obs, y_obs)
         U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
         t0 = time.perf_counter()
-        sol = self._solve(packed, U0)
+        sol, u_warm_next = self._solve(packed, U0)
         solve_s = time.perf_counter() - t0
         u = np.asarray(sol.U[0])
         if not np.all(np.isfinite(u)):
             u = self.u_last
         else:
-            self.u_warm = shift_controls(sol.U)
+            self.u_warm = u_warm_next  # device-resident, shifted inside the jit
         self.telemetry.record(
             solve_s=solve_s,
             kkt=float(sol.kkt_residual),

@@ -23,13 +23,16 @@ import jax.numpy as jnp
 
 from ..config import Params
 from .problems import Problem
+from .warmstart import shift_controls
 
 
 def make_packed_point_stab(problem: Problem, params: Params = Params()):
     """(solve_packed, pack) for a point-stabilization problem.
 
-    ``solve_packed(vec, U0) -> Solution`` is jit-compatible; ``pack`` is the
-    host-side encoder (pure NumPy, no device work)."""
+    ``solve_packed(vec, U0) -> (Solution, U_warm_next)`` is jit-compatible;
+    the shift-and-hold warm start for the next tick is produced inside the
+    same compiled program, so a live tick is exactly one dispatch. ``pack``
+    is the host-side encoder (pure NumPy, no device work)."""
     n = params.n_obstacle_points
     const = problem.make_theta(np.zeros(3), np.zeros(3))
 
@@ -39,7 +42,8 @@ def make_packed_point_stab(problem: Problem, params: Params = Params()):
         theta["goal"] = vec[3:6]
         theta["obs_x"] = vec[6 : 6 + n]
         theta["obs_y"] = vec[6 + n : 6 + 2 * n]
-        return problem.solve(theta, U0)
+        sol = problem.solve(theta, U0)
+        return sol, shift_controls(sol.U)
 
     def pack(x0, goal, obs_x, obs_y) -> np.ndarray:
         return np.concatenate(
@@ -55,7 +59,8 @@ def make_packed_point_stab(problem: Problem, params: Params = Params()):
 
 
 def make_packed_tracking(problem: Problem, params: Params = Params()):
-    """(solve_packed, pack) for a tracking problem."""
+    """(solve_packed, pack) for a tracking problem; same contract as
+    :func:`make_packed_point_stab` (Solution + in-jit shifted warm start)."""
     n = params.n_obstacle_points
     N = problem.ocp.horizon
     const = problem.make_theta(np.zeros(3), np.zeros((N, 3)), np.zeros((N, 2)))
@@ -67,7 +72,8 @@ def make_packed_tracking(problem: Problem, params: Params = Params()):
         theta["u_ref"] = vec[3 + 3 * N : 3 + 5 * N].reshape(N, 2)
         theta["obs_x"] = vec[3 + 5 * N : 3 + 5 * N + n]
         theta["obs_y"] = vec[3 + 5 * N + n : 3 + 5 * N + 2 * n]
-        return problem.solve(theta, U0)
+        sol = problem.solve(theta, U0)
+        return sol, shift_controls(sol.U)
 
     def pack(x0, x_ref, u_ref, obs_x, obs_y) -> np.ndarray:
         return np.concatenate(

@@ -219,12 +219,14 @@ def test_packed_solve_matches_dict_theta(point_stab, tracking):
 
     solve_p, pack = make_packed_point_stab(point_stab, PARAMS)
     ref = jax.jit(point_stab.solve)(point_stab.make_theta(x0, goal, obs_x, obs_y), point_stab.default_u0)
-    got = jax.jit(solve_p)(pack(x0, goal, obs_x, obs_y), point_stab.default_u0)
+    got, got_warm = jax.jit(solve_p)(pack(x0, goal, obs_x, obs_y), point_stab.default_u0)
     np.testing.assert_array_equal(np.asarray(got.U), np.asarray(ref.U))
+    # in-jit warm start == shift-and-hold of the solution
+    np.testing.assert_array_equal(np.asarray(got_warm), np.asarray(shift_controls(ref.U)))
 
     x_ref = np.cumsum(np.tile([0.03, 0.0, 0.0], (N, 1)), axis=0)
     u_ref = np.tile([0.15, 0.0], (N, 1))
     solve_t, pack_t = make_packed_tracking(tracking, PARAMS)
     ref2 = jax.jit(tracking.solve)(tracking.make_theta(x0, x_ref, u_ref, obs_x, obs_y), tracking.default_u0)
-    got2 = jax.jit(solve_t)(pack_t(x0, x_ref, u_ref, obs_x, obs_y), tracking.default_u0)
+    got2, _ = jax.jit(solve_t)(pack_t(x0, x_ref, u_ref, obs_x, obs_y), tracking.default_u0)
     np.testing.assert_array_equal(np.asarray(got2.U), np.asarray(ref2.U))
