@@ -149,8 +149,14 @@ def main():
         mid = (x0[:, :2] + goal[:, :2]) / 2
         for j in range(3):
             pts = mid + rng.uniform(-0.4, 0.4, size=(BATCH, 2))
-            d = np.linalg.norm(pts - x0[:, :2], axis=1, keepdims=True)
-            pts = np.where(d < 0.3, pts + 0.3, pts)  # keep off the start disc
+            # Keep clusters off both the start and goal inflation discs — an
+            # obstacle core *on* the goal is a contradictory task, not a
+            # solver workload (same rule as tests/test_oracle_sweep.py).
+            d = np.minimum(
+                np.linalg.norm(pts - x0[:, :2], axis=1, keepdims=True),
+                np.linalg.norm(pts - goal[:, :2], axis=1, keepdims=True),
+            )
+            pts = np.where(d < 0.3, pts + 0.3, pts)
             obs_x[:, j] = pts[:, 0]
             obs_y[:, j] = pts[:, 1]
         thetas_c = jax.vmap(prob_c.make_theta)(
@@ -167,6 +173,13 @@ def main():
         secondary["corrected_obstacle_solves_per_s"] = round(BATCH / min(tc), 1)
         secondary["corrected_obstacle_converged_frac"] = round(
             float(jnp.mean(sols_c.converged.astype(jnp.float32))), 4
+        )
+        # The strict flag is KKT < 1e-4; on the exponential obstacle cliffs
+        # f32 gradient noise parks a few % at 1e-4..1e-3 (a longer schedule
+        # converges them; tests/test_oracle_sweep.py pins optimality). Report
+        # the 1e-3 fraction — the BASELINE control-error scale — alongside.
+        secondary["corrected_obstacle_kkt_lt_1e3_frac"] = round(
+            float(jnp.mean((sols_c.kkt_residual < 1e-3).astype(jnp.float32))), 4
         )
     except Exception as e:  # noqa: BLE001
         print(f"corrected-mode bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
