@@ -64,11 +64,13 @@ def run_sweep(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     chunk_size: int = 0,
+    engine: str = "vmap",
 ):
     """Evaluate the sweep; returns per-config mean terminal goal error.
 
     With ``checkpoint_path`` set, finished chunks are persisted and skipped on
-    resume.
+    resume. ``engine``: 'vmap' | 'fast' | 'pallas' (the whole-solver kernel;
+    chunk sizes must respect its 1024-scenario tiling).
     """
     from ..config import Params
 
@@ -81,7 +83,16 @@ def run_sweep(
     if chunk_size <= 0:
         chunk_size = B
 
-    batched = jax.jit(jax.vmap(problem.solve))
+    if engine == "pallas":
+        from ..solver.pallas_kernel import make_pallas_point_stab_solver
+
+        batched = jax.jit(make_pallas_point_stab_solver(problem.ocp, problem.settings))
+    elif engine == "fast":
+        from ..solver.batched import make_bank_solver_fast
+
+        batched = jax.jit(make_bank_solver_fast(problem.ocp, problem.settings))
+    else:
+        batched = jax.jit(jax.vmap(problem.solve))
 
     done = {}
     if checkpoint_path and os.path.exists(checkpoint_path):
