@@ -86,7 +86,11 @@ def run_sweep(
     if engine == "pallas":
         from ..solver.pallas_kernel import make_pallas_point_stab_solver
 
-        batched = jax.jit(make_pallas_point_stab_solver(problem.ocp, problem.settings))
+        batched = jax.jit(
+            make_pallas_point_stab_solver(
+                problem.ocp, problem.settings, interpret=jax.default_backend() != "tpu"
+            )
+        )
     elif engine == "fast":
         from ..solver.batched import make_bank_solver_fast
 

@@ -99,3 +99,20 @@ def test_fleet_closed_loop_reaches_goals():
     assert out.trajectories.shape == (121, 16, 3)
     assert float(out.reach_fraction) >= 0.9, f"only {float(out.reach_fraction):.2f} reached"
     assert np.all(np.isfinite(np.asarray(out.trajectories)))
+
+
+def test_sweep_engine_option_matches_vmap():
+    """run_sweep engine='pallas' (interpret off-TPU) must reproduce the vmap
+    sweep's per-config quality (same thetas, same algorithm)."""
+    from ros2_mpc_tpu.parallel.sweep import SweepSpec, run_sweep
+    from ros2_mpc_tpu.solver import make_point_stabilization
+
+    settings = SolverSettings(barrier_stages=2, iters_per_stage=2, n_alphas=4)
+    prob = make_point_stabilization(PARAMS, horizon=5, settings=settings)
+    # 2 configs x 512 = 1024 scenarios: exactly one (8, 128) kernel tile grid
+    spec = SweepSpec(q_scales=(0.5, 1.0), r_scales=(1.0,), scenarios_per_config=512)
+    out_v = run_sweep(prob, spec, engine="vmap")
+    out_p = run_sweep(prob, spec, engine="pallas")
+    np.testing.assert_allclose(
+        out_p["mean_goal_error"], out_v["mean_goal_error"], atol=2e-4
+    )

@@ -7,7 +7,10 @@ Variants: default, no_obstacle, few_alphas, few_iters, small_batch, horizon10
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -11,10 +11,14 @@ single-chip number the pod run divides by.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python tools/bench_sweep.py` without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(out_path: str = "SWEEP_r02.json"):
