@@ -83,6 +83,8 @@ def build_sim_stack(
     horizon: Optional[int] = None,
     reference_parity: bool = False,
     planner_map_image: Optional[np.ndarray] = None,
+    noise: Optional[dict] = None,
+    noise_seed: int = 0,
 ) -> SimStack:
     """Assemble the nav-config node graph (launch_all_nav.launch.py) against
     the in-process simulator.
@@ -94,7 +96,10 @@ def build_sim_stack(
     if map_image is None:
         map_image = pgm.synthetic_indoor_map()
         map_info = dict(pgm.DEFAULT_MAP_INFO)
-    sim = Simulator(bus, map_image, map_info, start_pose=start_pose, params=params)
+    sim = Simulator(
+        bus, map_image, map_info, start_pose=start_pose, params=params,
+        noise=noise, noise_seed=noise_seed,
+    )
     map_server = MapServerNode(
         bus,
         map_image=planner_map_image if planner_map_image is not None else map_image,

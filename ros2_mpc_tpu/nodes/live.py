@@ -134,7 +134,7 @@ class SimLocalization:
         self.sim = sim
 
     def tick(self) -> dict:
-        x, y, yaw = (float(v) for v in self.sim.pose)
+        x, y, yaw = (float(v) for v in self.sim.measured_pose())
         self.bus.set_transform(
             "map",
             "base_footprint",

@@ -71,7 +71,15 @@ class Simulator:
         params: Params = Params(),
         n_beams: int = 360,
         max_range: float = 3.5,
+        noise: dict | None = None,
+        noise_seed: int = 0,
     ):
+        """``noise`` keys (all std-devs, default 0 = the deterministic sim):
+        ``odom_xy`` [m] and ``odom_yaw`` [rad] on the published/localized
+        pose, ``scan`` (multiplicative, per beam) on lidar ranges, ``cmd``
+        (multiplicative) on actuated velocities — a TurtleBot3-class error
+        budget is ``{"odom_xy": 0.01, "odom_yaw": 0.01, "scan": 0.01,
+        "cmd": 0.05}``."""
         self.bus = bus
         self.params = params
         self.map_image = np.asarray(map_image)
@@ -83,6 +91,8 @@ class Simulator:
         self.cmd = np.zeros(2)
         self.n_beams = n_beams
         self.max_range = max_range
+        self.noise = dict(noise or {})
+        self._rng = np.random.default_rng(noise_seed)
         self.map_server = MapServer(bus)
         bus.subscribe("cmd_vel", self._cmd_callback)
         self.publish_map()
@@ -100,8 +110,22 @@ class Simulator:
         occ = np.where(img == 0, 100, 0).astype(np.int8)
         self.map_server.publish_map(np.flipud(occ), self.map_info)
 
+    def measured_pose(self) -> np.ndarray:
+        """Ground-truth pose corrupted by the localization error budget —
+        what the tf chain / odometry consumers observe."""
+        pose = np.asarray(self.pose, dtype=float)
+        if self.noise.get("odom_xy") or self.noise.get("odom_yaw"):
+            pose = pose + np.array(
+                [
+                    self._rng.normal(0.0, self.noise.get("odom_xy", 0.0)),
+                    self._rng.normal(0.0, self.noise.get("odom_xy", 0.0)),
+                    self._rng.normal(0.0, self.noise.get("odom_yaw", 0.0)),
+                ]
+            )
+        return pose
+
     def publish_state(self):
-        x, y, yaw = (float(v) for v in self.pose)
+        x, y, yaw = (float(v) for v in self.measured_pose())
         self.bus.publish(
             "/robot_position",
             Odometry(
@@ -115,19 +139,28 @@ class Simulator:
         )
 
     def publish_scan(self):
-        ranges = lidar_scan(
-            self.occupied,
-            self.origin,
-            self.resolution,
-            self.pose,
-            self.n_beams,
-            -np.pi,
-            np.pi,
-            self.max_range,
+        ranges = np.asarray(
+            lidar_scan(
+                self.occupied,
+                self.origin,
+                self.resolution,
+                self.pose,
+                self.n_beams,
+                -np.pi,
+                np.pi,
+                self.max_range,
+            )
         )
+        if self.noise.get("scan"):
+            finite = np.isfinite(ranges)
+            ranges = np.where(
+                finite,
+                ranges * (1.0 + self._rng.normal(0.0, self.noise["scan"], size=ranges.shape)),
+                ranges,
+            )
         self.bus.publish(
             "/scan",
-            LaserScan(ranges=np.asarray(ranges), angle_min=-np.pi, angle_max=np.pi),
+            LaserScan(ranges=ranges, angle_min=-np.pi, angle_max=np.pi),
         )
 
     def step(self, dt=None, publish: bool = True):
@@ -136,7 +169,10 @@ class Simulator:
         graph passes ``publish=False`` and paces state/scan on their own
         timers instead (nodes/live.py)."""
         dt = self.params.dt if dt is None else dt
-        self.pose = plant_step(self.pose, self.cmd, dt)
+        cmd = self.cmd
+        if self.noise.get("cmd"):
+            cmd = cmd * (1.0 + self._rng.normal(0.0, self.noise["cmd"], size=2))
+        self.pose = plant_step(self.pose, cmd, dt)
         if publish:
             self.publish_state()
             self.publish_scan()

@@ -176,3 +176,17 @@ def test_global_costmap_file_reload_variant():
     assert out["costmap"].max() > 0  # walls present
     out2 = node.tick()  # second tick re-reads the file
     assert out2["status"] == "published"
+
+
+def test_noise_robust_goal_reaching():
+    """TurtleBot3-class sensor/actuation noise (1 cm odom, 0.01 rad yaw, 1%
+    scan, 5% actuation) must not break goal reaching — the reference runs on
+    physical robots whose sensing is exactly this dirty."""
+    noise = {"odom_xy": 0.01, "odom_yaw": 0.01, "scan": 0.01, "cmd": 0.05}
+    stack = build_sim_stack(
+        follower="point", start_pose=(-1.0, -1.0, 0.0), horizon=20,
+        noise=noise, noise_seed=3,
+    )
+    reached, ticks, pose = stack.run_to_goal((1.0, -1.0), max_ticks=300)
+    assert reached, f"stalled at {np.round(pose, 2)} after {ticks} ticks"
+    assert not stack.sim.in_collision()
