@@ -283,7 +283,7 @@ def main():
 
     print(
         f"engine={engine} batch={BATCH} N={N_HORIZON} t_batch(best)={best*1e3:.2f} ms "
-        f"sustained={solves_per_s:.1f}/s (K={K}) per-solve={1e6/solves_per_s*1:.2f} us "
+        f"sustained={solves_per_s:.1f}/s (K={K}) per-solve={1e6/solves_per_s:.2f} us "
         f"converged={frac_conv*100:.1f}% device={jax.devices()[0].device_kind} "
         f"tick_latency_cold_p50={np.percentile(lat,50)*1e3:.2f}ms "
         f"p99={np.percentile(lat,99)*1e3:.2f}ms "

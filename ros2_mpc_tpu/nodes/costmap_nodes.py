@@ -144,3 +144,15 @@ def global_main():
     from .live import single_node_main
 
     single_node_main(GlobalCostmapNode, "global_costmap", lambda p: p.local_costmap_period)
+
+
+def global_nav_main():
+    """Standalone file-reload global-costmap process — the nav variant that
+    re-reads the map PGM every iteration (global_costmap_publisher_nav.py:11-59)."""
+    from .live import single_node_main
+
+    single_node_main(
+        lambda bus, params: GlobalCostmapNode(bus, params, reload_map_every_tick=True),
+        "global_costmap_nav",
+        lambda p: p.local_costmap_period,
+    )

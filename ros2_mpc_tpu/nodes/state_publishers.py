@@ -35,11 +35,42 @@ class TransformPublisherNode:
 
     def __init__(self, bus: MessageBus):
         self.bus = bus
+        self.broadcasts = 0
         bus.subscribe("/odom", self._odom_callback)
 
     def _odom_callback(self, msg: Odometry):
+        self.broadcasts += 1
         self.bus.set_transform(
             "map",
             "odom",
             Transform(x=-msg.pose.x, y=-msg.pose.y, orientation=msg.pose.orientation),
         )
+
+    def tick(self) -> dict:
+        """Subscription-driven node; tick is a liveness probe (the reference
+        runs it as rclpy.spin, transform_publisher.py:32-39)."""
+        return {"status": "spinning", "broadcasts": self.broadcasts}
+
+
+def robot_state_main():
+    """Console entry: the standalone 20 Hz robot state publisher process
+    (reference console script 'robot_state_publisher', setup.py:33)."""
+    from .live import single_node_main
+
+    single_node_main(
+        lambda bus, params: RobotStatePublisherNode(bus),
+        "robot_state_pub",
+        lambda p: p.state_publish_period,
+    )
+
+
+def transform_publisher_main():
+    """Console entry: the standalone map->odom tf publisher process
+    (reference console script 'map_odom_tf_publisher', setup.py:38)."""
+    from .live import single_node_main
+
+    single_node_main(
+        lambda bus, params: TransformPublisherNode(bus),
+        "map_odom_tf",
+        lambda p: p.state_publish_period,
+    )
