@@ -146,13 +146,24 @@ def make_tracking(
     reference_parity: bool = True,
     settings: Optional[SolverSettings] = None,
     horizon: Optional[int] = None,
+    terminal_weight=(0.0, 0.0, 0.0),
 ) -> Problem:
     """Live trajectory-tracking NMPC
     (ros2_mpc/planner/local_planner_tracking.py:11-178).
 
     theta keys: ``x0`` (3,), ``x_ref`` (N, 3), ``u_ref`` (N, 2), obstacle
     vectors, ``Q``, ``R``, ``reverse_factor``, ``obstacle_gain``,
-    ``inflation_radius``, ``obstacle_weight``.
+    ``inflation_radius``, ``obstacle_weight``, ``terminal_weight``.
+
+    ``terminal_weight`` is a per-axis (x, y, yaw) weight on an optional
+    terminal pose cost ``||x_N - x_ref[N-1]||^2_W``. The reference has no
+    terminal state cost anywhere (quirk #5), and with zero terminal weight
+    the receding horizon prefers *orbiting* a misaligned goal over parking
+    (the stage yaw weight Q[2]=0.005 never pays for the turn; see ROADMAP).
+    The default zeros preserve parity; the closed-loop parking test pins the
+    corrected behavior. NOTE: the whole-solver Pallas tracking kernel
+    hard-codes the parity structure (zero terminal weight); use the
+    vmap/fast engines when the terminal cost is active.
     """
     N = horizon if horizon is not None else params.N
     F = make_step(unicycle.f, "euler", params.dt)  # quirk #3: Euler here
@@ -185,7 +196,8 @@ def make_tracking(
     def terminal_cost(x, theta):
         # The reference's (inactive) obstacle sum covers k = 0..N
         # (local_planner_tracking.py:57); in corrected mode include stage N.
-        return obstacle_term(x, theta)
+        e_N = x - theta["x_ref"][-1]
+        return obstacle_term(x, theta) + costs.quadratic_error(e_N, theta["terminal_weight"])
 
     ocp = OCP(
         transition=F,
@@ -219,6 +231,7 @@ def make_tracking(
             ),
             "inflation_radius": jnp.asarray(params.inflation_radius, dtype=float),
             "obstacle_weight": jnp.asarray(0.0 if reference_parity else 1.0),
+            "terminal_weight": jnp.asarray(terminal_weight, dtype=float).reshape(3),
         }
 
     return Problem(

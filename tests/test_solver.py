@@ -230,3 +230,36 @@ def test_packed_solve_matches_dict_theta(point_stab, tracking):
     ref2 = jax.jit(tracking.solve)(tracking.make_theta(x0, x_ref, u_ref, obs_x, obs_y), tracking.default_u0)
     got2, _ = jax.jit(solve_t)(pack_t(x0, x_ref, u_ref, obs_x, obs_y), tracking.default_u0)
     np.testing.assert_array_equal(np.asarray(got2.U), np.asarray(ref2.U))
+
+
+def test_terminal_pose_cost_parks_instead_of_orbiting():
+    """ROADMAP: with the reference formulation (no terminal cost, quirk #5)
+    the receding-horizon tracker *orbits* a misaligned goal; the per-axis
+    terminal pose cost parks it. Both behaviors pinned."""
+    from ros2_mpc_tpu.models import unicycle
+    from ros2_mpc_tpu.ops.integrators import rk4_step
+
+    goal = np.array([0.5, 0.4, 0.0])
+    x_ref = np.tile(goal, (N, 1))
+    u_ref = np.zeros((N, 2))
+
+    def closed_loop(terminal_weight, ticks=120):
+        prob = make_tracking(PARAMS, horizon=N, terminal_weight=terminal_weight)
+        solve = jax.jit(prob.solve)
+        x = jnp.array([0.0, 0.0, np.pi / 2])  # misaligned start
+        U = prob.default_u0
+        for _ in range(ticks):
+            sol = solve(prob.make_theta(np.asarray(x), x_ref, u_ref), U)
+            x = rk4_step(unicycle.f, x, sol.U[0], PARAMS.dt)
+            U = shift_controls(sol.U)
+        xf = np.asarray(x)
+        pos_err = float(np.linalg.norm(xf[:2] - goal[:2]))
+        yaw_err = float(abs((xf[2] - goal[2] + np.pi) % (2 * np.pi) - np.pi))
+        return pos_err, yaw_err
+
+    orbit_pos, _ = closed_loop((0.0, 0.0, 0.0))
+    assert orbit_pos > 0.4, f"expected the documented orbit, got pos_err={orbit_pos:.3f}"
+
+    park_pos, park_yaw = closed_loop((100.0, 100.0, 10.0))
+    assert park_pos < 0.15, f"terminal cost failed to park: pos_err={park_pos:.3f}"
+    assert park_yaw < 0.3, f"terminal cost failed to align: yaw_err={park_yaw:.3f}"
