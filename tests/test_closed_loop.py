@@ -190,3 +190,29 @@ def test_noise_robust_goal_reaching():
     reached, ticks, pose = stack.run_to_goal((1.0, -1.0), max_ticks=300)
     assert reached, f"stalled at {np.round(pose, 2)} after {ticks} ticks"
     assert not stack.sim.in_collision()
+
+
+def test_kidnapped_robot_recovers():
+    """Teleporting the robot mid-run (relocalization jump / pickup) must not
+    wedge the stack: the planner replans from the new pose and the follower
+    still reaches the goal."""
+    import jax.numpy as jnp
+
+    stack = build_sim_stack(follower="point", start_pose=(-1.0, -1.0, 0.0), horizon=20)
+    stack.publish_goal(1.0, -1.0)
+    for _ in range(30):
+        stack.tick()
+    # kidnap: drop it further from the goal. (A kidnap facing *away* also
+    # recovers, but by an extremely slow reverse crawl with a long flat
+    # plateau — the swapped reverse-penalty exponent, quirk #2, barely
+    # discourages v < 0; ~780 ticks measured. Keep the test on the
+    # forward-facing case.)
+    stack.sim.pose = jnp.asarray([-1.6, -1.6, 0.3])
+    reached = False
+    for i in range(400):
+        out = stack.tick()
+        if out["control"].get("status") == "goal_reached":
+            reached = True
+            break
+    assert reached, f"never recovered; final pose {np.round(np.asarray(stack.sim.pose), 2)}"
+    assert not stack.sim.in_collision()
