@@ -161,15 +161,24 @@ def main():
         obs_y = np.full((BATCH, n_obs), 100.0)
         mid = (x0[:, :2] + goal[:, :2]) / 2
         for j in range(3):
-            pts = mid + rng.uniform(-0.4, 0.4, size=(BATCH, 2))
             # Keep clusters off both the start and goal inflation discs — an
             # obstacle core *on* the goal is a contradictory task, not a
             # solver workload (same rule as tests/test_oracle_sweep.py).
-            d = np.minimum(
-                np.linalg.norm(pts - x0[:, :2], axis=1, keepdims=True),
-                np.linalg.norm(pts - goal[:, :2], axis=1, keepdims=True),
-            )
-            pts = np.where(d < 0.3, pts + 0.3, pts)
+            # Rejection-resample the violating rows (a fixed diagonal shift
+            # can land right back inside a disc).
+            pts = mid + rng.uniform(-0.4, 0.4, size=(BATCH, 2))
+            for _ in range(16):
+                d = np.minimum(
+                    np.linalg.norm(pts - x0[:, :2], axis=1),
+                    np.linalg.norm(pts - goal[:, :2], axis=1),
+                )
+                bad = d < 0.3
+                if not bad.any():
+                    break
+                pts[bad] = mid[bad] + rng.uniform(-0.45, 0.45, size=(int(bad.sum()), 2))
+            else:
+                # park irredeemable rows (start ~ goal) at the far sentinel
+                pts[bad] = 100.0
             obs_x[:, j] = pts[:, 0]
             obs_y[:, j] = pts[:, 1]
         thetas_c = jax.vmap(prob_c.make_theta)(

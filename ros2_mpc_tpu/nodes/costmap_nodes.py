@@ -149,10 +149,19 @@ def global_main():
 def global_nav_main():
     """Standalone file-reload global-costmap process — the nav variant that
     re-reads the map PGM every iteration (global_costmap_publisher_nav.py:11-59)."""
+    import os
+
     from .live import single_node_main
 
+    maps_dir = os.path.join(os.path.dirname(__file__), "..", "..", "maps")
+    pgm_path = os.environ.get("TPU_MPC_MAP_PGM", os.path.join(maps_dir, "map_synthetic.pgm"))
+    yaml_path = os.environ.get("TPU_MPC_MAP_YAML", os.path.join(maps_dir, "map_synthetic.yaml"))
     single_node_main(
-        lambda bus, params: GlobalCostmapNode(bus, params, reload_map_every_tick=True),
+        lambda bus, params: GlobalCostmapNode(
+            bus, params,
+            map_pgm_path=pgm_path, map_yaml_path=yaml_path,
+            reload_map_every_tick=True,
+        ),
         "global_costmap_nav",
         lambda p: p.local_costmap_period,
     )

@@ -55,11 +55,15 @@ class SimStack:
         )
 
     def tick(self) -> dict:
-        """One control period: sensors -> plan -> control -> plant."""
+        """One control period: sensors -> plan -> control -> plant. The
+        follower gets *simulation* time (tick count x dt) so its 1 s path
+        refresh (reference REFRESH_TIME) paces in sim seconds, not in however
+        fast the lock-step loop happens to run."""
+        self._ticks = getattr(self, "_ticks", 0) + 1
         self.map_server.tick()
         self.local_costmap.tick()
         plan = self.global_planner.tick()
-        ctrl = self.follower.tick()
+        ctrl = self.follower.tick(now=self._ticks * self.params.dt)
         pose = self.sim.step()
         return {"plan": plan, "control": ctrl, "pose": pose}
 

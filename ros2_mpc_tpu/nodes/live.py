@@ -281,22 +281,29 @@ def build_live_stack(
     return stack
 
 
-def _source_tasks(bus: MessageBus, params: Params, source: str) -> tuple[list[Task], Optional[Simulator]]:
+def _source_tasks(
+    bus: MessageBus, params: Params, source: str, exclude: frozenset = frozenset()
+) -> tuple[list[Task], Optional[Simulator]]:
     """Sensor-source scaffolding for a standalone node process: either the
     in-process simulator chain (plant + localizer + tf-fed state publisher +
-    lidar + map server) or a DDS bridge pump."""
+    lidar + map server) or a DDS bridge pump. ``exclude`` drops scaffolding
+    tasks by name so a node under test never competes with a scaffolding
+    twin publishing the same topic (e.g. the standalone map server vs the
+    scaffolding 'map_server')."""
     tasks: list[Task] = []
     if source == "sim":
         image = pgm.synthetic_indoor_map()
         info = dict(pgm.DEFAULT_MAP_INFO)
         sim = Simulator(bus, image, info)
         localizer = SimLocalization(bus, sim)
-        map_server = MapServerNode(bus, map_image=image, map_info=info)
-        robot_state = RobotStatePublisherNode(bus)
         tasks.append(Task("localizer", params.state_publish_period, localizer.tick))
-        tasks.append(Task("robot_state", params.state_publish_period, robot_state.tick))
+        if "robot_state" not in exclude:
+            robot_state = RobotStatePublisherNode(bus)
+            tasks.append(Task("robot_state", params.state_publish_period, robot_state.tick))
         tasks.append(Task("lidar", params.local_costmap_period, sim.publish_scan))
-        tasks.append(Task("map_server", 1.0, map_server.tick))
+        if "map_server" not in exclude:
+            map_server = MapServerNode(bus, map_image=image, map_info=info)
+            tasks.append(Task("map_server", 1.0, map_server.tick))
         return tasks, sim
     if source == "ros":
         from .ros_adapter import RclpyBusBridge
@@ -313,6 +320,7 @@ def run_single_node(
     period: Callable[[Params], float],
     source: str = "sim",
     duration: float = 60.0,
+    exclude_source_tasks: frozenset = frozenset(),
 ) -> dict:
     """Run ONE node as its own paced process against live topics — the
     reference's per-node console-script model (setup.py:28-40), with the
@@ -320,7 +328,7 @@ def run_single_node(
     logging.basicConfig(level=logging.INFO)
     bus = MessageBus()
     params = Params()
-    tasks, _ = _source_tasks(bus, params, source)
+    tasks, _ = _source_tasks(bus, params, source, exclude=exclude_source_tasks)
     node = node_factory(bus, params)
     tasks.append(Task(task_name, period(params), node.tick))
     stats = RateScheduler(tasks).run(duration)
@@ -328,7 +336,7 @@ def run_single_node(
     return stats
 
 
-def single_node_main(node_factory, task_name: str, period) -> None:
+def single_node_main(node_factory, task_name: str, period, exclude_source_tasks=frozenset()) -> None:
     """argparse wrapper shared by the standalone node console entries."""
     import argparse
 
@@ -336,7 +344,10 @@ def single_node_main(node_factory, task_name: str, period) -> None:
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--source", default="sim", choices=["sim", "ros"])
     args = ap.parse_args()
-    run_single_node(node_factory, task_name, period, args.source, args.duration)
+    run_single_node(
+        node_factory, task_name, period, args.source, args.duration,
+        exclude_source_tasks=exclude_source_tasks,
+    )
 
 
 def run_live(

@@ -65,4 +65,6 @@ def main():
         lambda bus, params: MapServerNode(bus, map_pgm_path=pgm_path, map_yaml_path=yaml_path),
         "map_server_node",
         lambda p: 1.0,
+        # the scaffolding's synthetic-map server would race this node on /map
+        exclude_source_tasks=frozenset({"map_server"}),
     )

@@ -98,6 +98,7 @@ class PathFollowerNode:
         self.goal_flag = False
         self.telemetry = Telemetry("path_follower")
         self._path_fetch_time = -np.inf
+        self._path_cache = (None, None)
 
     def tick(self, now: float | None = None) -> dict:
         """One control tick. Returns a status dict; publishes cmd_vel."""
@@ -124,9 +125,13 @@ class PathFollowerNode:
                 scan_data, angles, p.costmap_size, pos, ori[2], p.n_obstacle_points,
                 static_mask=mask, map_info=map_info,
             )
-        if now - self._path_fetch_time > p.path_refresh_period:
+        # Path refresh is rate-limited to the reference's 1 s REFRESH_TIME
+        # (path_follower_local_planner.py:157,175-178); until the first path
+        # arrives the fetch retries every tick.
+        if now - self._path_fetch_time > p.path_refresh_period or self._path_cache[0] is None:
             self._path_fetch_time = now
-        path_xy, path_heading = self.robot_controller.get_path()
+            self._path_cache = self.robot_controller.get_path()
+        path_xy, path_heading = self._path_cache
         if path_xy is None or len(path_xy) < 2:
             return {"status": "waiting_for_path"}
 

@@ -221,8 +221,10 @@ def scan_to_world_obstacles(
         res = float(map_info["resolution"])
         origin = np.asarray(map_info["origin"], dtype=float)
         h, w = static_mask.shape
-        col = ((wx - origin[0]) / res).astype(int)
-        row = h - 1 - ((wy - origin[1]) / res).astype(int)
+        # floor, not int-truncation: points just past the left/bottom map edge
+        # must fall OUTSIDE (col/row -1), not alias into border cell 0
+        col = np.floor((wx - origin[0]) / res).astype(int)
+        row = h - 1 - np.floor((wy - origin[1]) / res).astype(int)
         inside = (col >= 0) & (col < w) & (row >= 0) & (row < h)
         mapped = np.zeros(len(wx), dtype=bool)
         mapped[inside] = static_mask[row[inside], col[inside]]

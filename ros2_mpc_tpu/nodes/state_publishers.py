@@ -61,6 +61,8 @@ def robot_state_main():
         lambda bus, params: RobotStatePublisherNode(bus),
         "robot_state_pub",
         lambda p: p.state_publish_period,
+        # the scaffolding's own state publisher would double /robot_position
+        exclude_source_tasks=frozenset({"robot_state"}),
     )
 
 

@@ -71,14 +71,26 @@ def run(
     }
 
 
+def _largest_dividing_pow2(n: int, cap: int) -> int:
+    """Largest power of two <= cap that divides n (n >= 1)."""
+    p = 1
+    while p * 2 <= cap and n % (p * 2) == 0:
+        p *= 2
+    return p
+
+
 def run_all_engines(per_device_batch: int = 512, horizon: int = 20, reps: int = 3):
     """One scaling measurement per engine, with packing opts sized to the
-    per-device batch (lanes/tiles must divide it)."""
+    per-device batch — lanes/tiles must *divide* it, so non-power-of-two
+    batches (e.g. 192) get the largest dividing power of two instead of a
+    blind min(128, B) that would crash the fast/pallas reshapes."""
     import jax
 
-    lanes = min(128, per_device_batch)
-    tile_l = min(128, per_device_batch)
+    lanes = _largest_dividing_pow2(per_device_batch, 128)
+    tile_l = lanes
     tile_s = max(1, min(8, per_device_batch // tile_l))
+    while per_device_batch % (tile_s * tile_l) != 0:
+        tile_s -= 1
     engines = {
         "vmap": {},
         "fast": {"lanes": lanes},

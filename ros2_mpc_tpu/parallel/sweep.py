@@ -65,14 +65,19 @@ def run_sweep(
     checkpoint_path: Optional[str] = None,
     chunk_size: int = 0,
     engine: str = "vmap",
+    **engine_opts,
 ):
     """Evaluate the sweep; returns per-config mean terminal goal error.
 
     With ``checkpoint_path`` set, finished chunks are persisted and skipped on
-    resume. ``engine``: 'vmap' | 'fast' | 'pallas' (the whole-solver kernel;
-    chunk sizes must respect its 1024-scenario tiling).
+    resume. ``engine``: 'vmap' | 'fast' | 'pallas', dispatched through
+    :func:`~ros2_mpc_tpu.parallel.mesh.make_bank_solver` (which owns kernel
+    selection, off-TPU interpret mode, and the shard_map wrapping on
+    multi-device meshes; chunk sizes must respect the engine's per-device
+    lane/tile packing).
     """
     from ..config import Params
+    from .mesh import make_bank_solver
 
     params = params or Params()
     mesh = mesh or make_mesh()
@@ -83,20 +88,7 @@ def run_sweep(
     if chunk_size <= 0:
         chunk_size = B
 
-    if engine == "pallas":
-        from ..solver.pallas_kernel import make_pallas_point_stab_solver
-
-        batched = jax.jit(
-            make_pallas_point_stab_solver(
-                problem.ocp, problem.settings, interpret=jax.default_backend() != "tpu"
-            )
-        )
-    elif engine == "fast":
-        from ..solver.batched import make_bank_solver_fast
-
-        batched = jax.jit(make_bank_solver_fast(problem.ocp, problem.settings))
-    else:
-        batched = jax.jit(jax.vmap(problem.solve))
+    step = make_bank_solver(problem, mesh, engine=engine, **engine_opts)
 
     done = {}
     if checkpoint_path and os.path.exists(checkpoint_path):
@@ -113,7 +105,7 @@ def run_sweep(
         n = int(jax.tree_util.tree_leaves(chunk)[0].shape[0])
         chunk = shard_bank(chunk, mesh)
         U0 = shard_bank(jnp.zeros((n,) + problem.default_u0.shape), mesh)
-        sols = batched(chunk, U0)
+        sols, _ = step(chunk, U0)
         # quality: distance of the terminal rollout state to the goal
         err = jnp.linalg.norm(sols.X[:, -1, :2] - chunk["goal"][:, :2], axis=-1)
         arr = np.asarray(err)

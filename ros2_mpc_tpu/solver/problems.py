@@ -39,6 +39,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import Params
 from ..models import unicycle
@@ -55,7 +56,11 @@ class Problem(NamedTuple):
     default_u0: jnp.ndarray  # (N, m) zeros — the reference's warm start
     ocp: OCP
     settings: SolverSettings
-    kind: str = "point_stabilization"  # | "tracking" | "legacy" 
+    kind: str = "point_stabilization"  # | "tracking" | "legacy"
+    # build-time capability tags, e.g. "terminal_cost" when the optional
+    # terminal pose weight is nonzero (the Pallas tracking kernel hard-codes
+    # the parity structure and must reject such problems)
+    tags: tuple = ()
 
 
 def _no_obstacles(params: Params, far: float = 1e3):
@@ -241,6 +246,7 @@ def make_tracking(
         ocp=ocp,
         settings=settings,
         kind="tracking",
+        tags=("terminal_cost",) if np.any(np.asarray(terminal_weight)) else (),
     )
 
 

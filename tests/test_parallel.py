@@ -165,3 +165,17 @@ def test_graft_entry_compiles():
     compiled = lowered.compile()
     sol = compiled(*args)
     assert np.all(np.isfinite(np.asarray(sol.U)))
+
+
+def test_pallas_engine_rejects_terminal_cost_problems():
+    """The Pallas tracking kernel hard-codes the parity (zero terminal
+    weight) structure; make_bank_solver must reject the combination loudly
+    instead of silently solving the wrong NLP."""
+    import pytest as _pytest
+
+    from ros2_mpc_tpu.solver import make_tracking
+
+    prob = make_tracking(Params(), horizon=5, terminal_weight=(10.0, 10.0, 1.0))
+    mesh = make_mesh(1)
+    with _pytest.raises(ValueError, match="terminal"):
+        make_bank_solver(prob, mesh, engine="pallas")

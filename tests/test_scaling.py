@@ -112,7 +112,8 @@ def test_sweep_engine_option_matches_vmap():
     # 2 configs x 512 = 1024 scenarios: exactly one (8, 128) kernel tile grid
     spec = SweepSpec(q_scales=(0.5, 1.0), r_scales=(1.0,), scenarios_per_config=512)
     out_v = run_sweep(prob, spec, engine="vmap")
-    out_p = run_sweep(prob, spec, engine="pallas")
+    # 1024 scenarios over the 8-device mesh -> 128 per shard: one (1, 128) tile
+    out_p = run_sweep(prob, spec, engine="pallas", tile_s=1, tile_l=128)
     np.testing.assert_allclose(
         out_p["mean_goal_error"], out_v["mean_goal_error"], atol=2e-4
     )
