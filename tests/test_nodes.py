@@ -155,3 +155,56 @@ def test_slew_limiter_quirk():
     # small change passes through
     v2, w2, _ = slew_limited_command(np.array([0.01, 0.01]), u_last, 0.03)
     assert v2 == 0.01 and w2 == 0.01
+
+
+def test_mapped_structure_mask_and_scan_filter():
+    """Unit-level checks of the scan-minus-map obstacle filtering
+    (reference_gen.mapped_structure_mask / scan_to_world_obstacles):
+    dilation matches a naive loop; wall returns are dropped while unmapped
+    returns survive; off-map returns don't alias into border cells."""
+    from ros2_mpc_tpu.nodes.reference_gen import (
+        mapped_structure_mask,
+        scan_to_world_obstacles,
+    )
+
+    img = np.zeros((10, 12), dtype=np.uint8)
+    img[4, 6] = 255  # one mapped cell
+    mask = mapped_structure_mask(img, dilate_cells=2)
+    naive = np.zeros_like(mask)
+    for r in range(10):
+        for c in range(12):
+            naive[r, c] = any(
+                img[rr, cc]
+                for rr in range(max(0, r - 2), min(10, r + 3))
+                for cc in range(max(0, c - 2), min(12, c + 3))
+            )
+    np.testing.assert_array_equal(mask, naive)
+
+    # 1 m x 1.2 m map at 0.1 m: mapped cell (4, 6) covers world
+    # x in [0.6, 0.7), y in [0.5, 0.6) (row 4 from top = row 5 from bottom).
+    info = {"resolution": 0.1, "origin": (0.0, 0.0)}
+    mask1 = mapped_structure_mask(img, dilate_cells=0)
+    pos, yaw = np.array([0.65, 0.25]), np.pi / 2  # facing +y toward the cell
+    # single-beam 'scan': ranges such that the return lands on the mapped
+    # cell (0.3 m ahead -> y=0.55) vs an unmapped spot (0.1 m -> y=0.35)
+    angles = (0.0, 2 * np.pi)
+    x_on, y_on = scan_to_world_obstacles(
+        [0.3], angles, 2.0, pos, yaw, 4, static_mask=mask1, map_info=info
+    )
+    assert np.all(x_on == 100.0), "mapped return should be filtered"
+    x_off, y_off = scan_to_world_obstacles(
+        [0.1], angles, 2.0, pos, yaw, 4, static_mask=mask1, map_info=info
+    )
+    assert abs(x_off[0] - 0.65) < 1e-6 and abs(y_off[0] - 0.35) < 1e-6
+
+    # off-map return (negative world y): must NOT alias into border row
+    img2 = np.zeros((10, 12), dtype=np.uint8)
+    img2[9, :] = 255  # bottom row mapped
+    mask2 = mapped_structure_mask(img2, dilate_cells=0)
+    x_neg, y_neg = scan_to_world_obstacles(
+        [0.3], angles, 2.0, np.array([0.65, 0.25]), -np.pi / 2, 4,
+        static_mask=mask2, map_info=info,
+    )
+    # return at y = -0.05 is outside the map: kept as unmapped, not dropped
+    # by the bottom-row mask via toward-zero truncation
+    assert abs(y_neg[0] - (-0.05)) < 1e-6
