@@ -63,3 +63,21 @@ def test_tracking_follower_navigates_carto_map(carto):
     reached, ticks, pose = stack.run_to_goal((4.2, -0.4), max_ticks=700)
     assert reached, f"stalled at {np.round(pose, 2)} after {ticks} ticks"
     assert not stack.sim.in_collision()
+
+
+def test_live_graph_navigates_carto_map(carto):
+    """The wall-clock deployment graph (real 20/10/5/1 Hz rates) on the real
+    cartographer floor plan: goal latched within the time budget, control
+    deadlines essentially clean."""
+    from ros2_mpc_tpu.nodes.live import build_live_stack
+
+    img, info = carto
+    stack = build_live_stack(
+        follower="point", map_image=img, map_info=info,
+        start_pose=(1.8, -0.4, 0.0), horizon=20,
+    )
+    stack.publish_goal(4.2, -0.4)
+    stats = stack.run(duration=60.0)
+    assert stats["goal_reached"], stats["tasks"]
+    ctrl = stats["tasks"]["control"]
+    assert ctrl["misses"] <= max(2, 0.1 * ctrl["runs"]), ctrl
