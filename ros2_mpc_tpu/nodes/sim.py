@@ -93,6 +93,11 @@ class Simulator:
         self.max_range = max_range
         self.noise = dict(noise or {})
         self._rng = np.random.default_rng(noise_seed)
+        # Dynamic (unmapped) obstacles: a callable returning world-XY centers
+        # of moving discs the lidar must see — other robots in a shared world
+        # (nodes/multi_robot.py), pedestrians, etc.
+        self.moving_obstacles = None  # Optional[Callable[[], list[xy]]]
+        self.obstacle_radius = 0.15
         self.map_server = MapServer(bus)
         bus.subscribe("cmd_vel", self._cmd_callback)
         self.publish_map()
@@ -138,6 +143,23 @@ class Simulator:
             ),
         )
 
+    def _circle_ranges(self, centers) -> np.ndarray:
+        """Analytic ray-circle first-hit distances for the dynamic discs
+        (inf where a beam misses every disc or the hit is out of range)."""
+        pose = np.asarray(self.pose, dtype=float)
+        beams = pose[2] + (-np.pi) + np.arange(self.n_beams) * (2 * np.pi) / self.n_beams
+        d = np.stack([np.cos(beams), np.sin(beams)], axis=1)  # (B, 2)
+        out = np.full(self.n_beams, np.inf)
+        r2 = self.obstacle_radius**2
+        for c in centers:
+            rel = np.asarray(c, dtype=float)[:2] - pose[:2]
+            along = d @ rel
+            perp2 = float(rel @ rel) - along**2
+            t = along - np.sqrt(np.maximum(r2 - perp2, 0.0))
+            hit = (perp2 < r2) & (t > 0) & (t <= self.max_range)
+            out = np.where(hit, np.minimum(out, t), out)
+        return out
+
     def publish_scan(self):
         ranges = np.asarray(
             lidar_scan(
@@ -151,6 +173,10 @@ class Simulator:
                 self.max_range,
             )
         )
+        if self.moving_obstacles is not None:
+            centers = self.moving_obstacles()
+            if centers:
+                ranges = np.minimum(ranges, self._circle_ranges(centers))
         if self.noise.get("scan"):
             finite = np.isfinite(ranges)
             ranges = np.where(

@@ -216,3 +216,15 @@ def test_kidnapped_robot_recovers():
             break
     assert reached, f"never recovered; final pose {np.round(np.asarray(stack.sim.pose), 2)}"
     assert not stack.sim.in_collision()
+
+
+def test_sequential_goals_retask():
+    """Publishing a new goal after a latch must un-latch the follower and
+    drive the next leg (multi-goal missions; the reference supports this
+    implicitly through its goal-distance latch logic)."""
+    stack = build_sim_stack(follower="point", start_pose=(-1.0, -1.0, 0.0), horizon=20)
+    reached1, t1, pose1 = stack.run_to_goal((0.2, -1.0), max_ticks=300)
+    assert reached1
+    reached2, t2, pose2 = stack.run_to_goal((1.2, -1.4), max_ticks=300)
+    assert reached2, f"second leg stalled at {np.round(pose2, 2)}"
+    assert np.linalg.norm(np.asarray(pose2[:2]) - (1.2, -1.4)) <= stack.params.goal_threshold + 0.1
