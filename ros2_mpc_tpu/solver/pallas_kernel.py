@@ -98,6 +98,7 @@ def make_pallas_point_stab_solver(
         kff_scr,  # VMEM (N, 2, S, L)
         kfb_scr,  # VMEM (N, 2, 3, S, L)
         Ubest_scr,  # VMEM (N, 2, S, L)
+        acc_scr,  # VMEM (S, L): per-scenario line-search acceptance mask
     ):
         # blocks carry a leading tile dim of 1
         px0, py0, th0 = x0g_ref[0, 0], x0g_ref[0, 1], x0g_ref[0, 2]
@@ -151,12 +152,19 @@ def make_pallas_point_stab_solver(
             hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
             return val, gx_, gy_, hxx, hxy, hyy
 
+        def obstacle_value(px, py):
+            """Value-only obstacle sum for cost evaluation (rollouts / line
+            search): one exp chain + one reduction — does not rely on the
+            compiler DCE-ing the five unused gradient/Hessian reductions."""
+            dx = px[None] - obs_x_all
+            dy = py[None] - obs_y_all
+            return jnp.sum(ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0)
+
         def stage_cost(px, py, th, v, w, mu):
             ex, ey, eth = px - gx, py - gy, th - gth
             c = Q0 * ex * ex + Q1 * ey * ey + Q2 * eth * eth
             c = c + R0 * v * v + R1 * w * w + jnp.exp(-rf * v)
-            obs_val, *_ = obstacle_terms(px, py)
-            c = c + obs_val
+            c = c + obstacle_value(px, py)
             c = c - mu * (
                 jnp.log(v - lo_v) + jnp.log(hi_v - v) + jnp.log(w - lo_w) + jnp.log(hi_w - w)
             )
@@ -323,14 +331,21 @@ def make_pallas_point_stab_solver(
             (_, _, _, _, _, _, _, _, _, dV1, dV2) = jax.lax.fori_loop(0, N, bwd, init)
 
             # ---- line search: alphas descending, per-scenario first-accept ----
-            # `accepted` is a float mask (1.0 = accepted): carrying i1 vectors
+            # `acc_scr` is a float mask (1.0 = accepted): carrying i1 vectors
             # through scf loops trips a Mosaic layout bug (vector<8x128x32xi1>
-            # vpad masks) on TPU.
-            accepted = jnp.zeros_like(px0)
+            # vpad masks) on TPU. It lives in scratch (not a loop carry) so the
+            # alpha body can be predicated out with pl.when once every
+            # scenario in the tile has accepted — typically after 1-2 alphas,
+            # skipping most of the up-to-n_alphas candidate rollouts.
+            acc_scr[...] = jnp.zeros_like(px0)
 
-            def try_alpha(J, accepted, alpha):
+            def try_alpha(J, alpha):
                 # candidate rollout with feedback, cost into acc; stash U in
-                # Ubest only where this is the first acceptance.
+                # Ubest only where this is the first acceptance. Rows whose
+                # candidate is rejected keep stale values in Ubest — they are
+                # either overwritten by the next alpha (take still true) or
+                # masked out by `commit` (acc_mask false), never read.
+                accepted = acc_scr[...]
                 px, py, th = px0, py0, th0
 
                 def fbody(k, carry):
@@ -358,32 +373,26 @@ def make_pallas_point_stab_solver(
                 Jc = jnp.where(jnp.isnan(Jc), jnp.inf, Jc)
                 ok = Jc <= J - c1 * jnp.maximum(expected, 0.0)
                 newly = jnp.where(jnp.logical_and(ok, accepted < 0.5), 1.0, 0.0)
-
-                # freeze Ubest where newly accepted; where not newly accepted,
-                # restore previous content (either older accept or U)
-                def freeze(k, _):
-                    keep = (accepted + newly) > 0.5
-                    Ubest_scr[k, 0] = jnp.where(keep, Ubest_scr[k, 0], U_scr[k, 0])
-                    Ubest_scr[k, 1] = jnp.where(keep, Ubest_scr[k, 1], U_scr[k, 1])
-                    return 0
-
-                jax.lax.fori_loop(0, N, freeze, 0)
-                return jnp.maximum(accepted, newly)
+                acc_scr[...] = jnp.maximum(accepted, newly)
 
             # NOTE: try_alpha overwrites Ubest rows where "not accepted", so
             # once a scenario accepts, later (smaller) alphas must not clobber
-            # its stored candidate — handled by the `take`/`freeze` masks.
+            # its stored candidate — handled by the `take` mask.
             # fori (not Python-unrolled) keeps the Mosaic program size small:
             # an unrolled 6x copy of the candidate rollout made remote compile
             # time explode.
-            def alpha_step(a, accepted):
-                # 0.5**a via exp (math.powf does not legalize in Mosaic)
-                alpha = jnp.exp(-0.6931471805599453 * a.astype(jnp.float32))
-                return try_alpha(J, accepted, alpha)
+            def alpha_step(a, carry):
+                @pl.when(jnp.min(acc_scr[...]) < 0.5)
+                def _():
+                    # 0.5**a via exp (math.powf does not legalize in Mosaic)
+                    alpha = jnp.exp(-0.6931471805599453 * a.astype(jnp.float32))
+                    try_alpha(J, alpha)
 
-            accepted = jax.lax.fori_loop(0, settings.n_alphas, alpha_step, accepted)
+                return carry
 
-            acc_mask = accepted > 0.5
+            jax.lax.fori_loop(0, settings.n_alphas, alpha_step, 0)
+
+            acc_mask = acc_scr[...] > 0.5
 
             def commit(k, _):
                 U_scr[k, 0] = jnp.where(acc_mask, Ubest_scr[k, 0], U_scr[k, 0])
@@ -413,8 +422,7 @@ def make_pallas_point_stab_solver(
                 ex, ey, eth = px - gx, py - gy, th - gth
                 c = Q0 * ex * ex + Q1 * ey * ey + Q2 * eth * eth
                 c = c + R0 * v * v + R1 * w * w + jnp.exp(-rf * v)
-                obs_val, *_ = obstacle_terms(px, py)
-                acc = acc + c + obs_val
+                acc = acc + c + obstacle_value(px, py)
                 nx, ny, nth = F(px, py, th, v, w)
                 X_scr[k + 1, 0] = nx
                 X_scr[k + 1, 1] = ny
@@ -540,6 +548,7 @@ def make_pallas_point_stab_solver(
                 pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((N, 2, 3, tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
+                pltpu.VMEM((tile_s, tile_l), jnp.float32),
             ],
             interpret=interpret,
         )(jnp.asarray(mus), x0g, wts, obs, u0)
@@ -611,6 +620,7 @@ def make_pallas_tracking_solver(
         kff_scr,
         kfb_scr,
         Ubest_scr,
+        acc_scr,
     ):
         px0, py0, th0 = x0_ref[0, 0], x0_ref[0, 1], x0_ref[0, 2]
         Q0, Q1, Q2 = w_ref[0, 0], w_ref[0, 1], w_ref[0, 2]
@@ -646,6 +656,12 @@ def make_pallas_tracking_solver(
             hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
             return val, gx_, gy_, hxx, hxy, hyy
 
+        def obstacle_value(px, py):
+            """Value-only obstacle sum (see the point-stabilization kernel)."""
+            dx = px[None] - obs_x_all
+            dy = py[None] - obs_y_all
+            return jnp.sum(ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0)
+
         def stage_cost(k, px, py, th, v, w, mu):
             ex = px - xref_ref[0, k, 0]
             ey = py - xref_ref[0, k, 1]
@@ -654,8 +670,7 @@ def make_pallas_tracking_solver(
             ew = w - uref_ref[0, k, 1]
             c = Q0 * ex * ex + Q1 * ey * ey + Q2 * eth * eth
             c = c + R0 * ev * ev + R1 * ew * ew + jnp.exp(-rf * v)
-            obs_val, *_ = obstacle_terms(px, py)
-            c = c + obs_val
+            c = c + obstacle_value(px, py)
             c = c - mu * (
                 jnp.log(v - lo_v) + jnp.log(hi_v - v) + jnp.log(w - lo_w) + jnp.log(hi_w - w)
             )
@@ -693,8 +708,7 @@ def make_pallas_tracking_solver(
 
             acc = jax.lax.fori_loop(0, N, body, jnp.zeros_like(px0))
             # terminal obstacle term (the tracking OCP's stage-N cost)
-            obs_N, *_ = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
-            return acc + obs_N
+            return acc + obstacle_value(X_scr[N, 0], X_scr[N, 1])
 
         def one_iteration(t, reg):
             mu = mu_ref[t]
@@ -818,9 +832,14 @@ def make_pallas_tracking_solver(
             init = (tgx, tgy, zero, thxx, thxy, zero, thyy, zero, zero, zero, zero)
             (_, _, _, _, _, _, _, _, _, dV1, dV2) = jax.lax.fori_loop(0, N, bwd, init)
 
-            accepted = jnp.zeros_like(px0)
+            # Same first-accept line search as the point-stabilization kernel:
+            # acc_scr lives in scratch so pl.when can skip remaining alphas
+            # once the whole tile has accepted; rejected candidates left in
+            # Ubest are overwritten by the next alpha or masked by `commit`.
+            acc_scr[...] = jnp.zeros_like(px0)
 
-            def try_alpha(J, accepted, alpha):
+            def try_alpha(J, alpha):
+                accepted = acc_scr[...]
                 px, py, th = px0, py0, th0
 
                 def fbody(k, carry):
@@ -843,28 +862,23 @@ def make_pallas_tracking_solver(
                     return nx, ny, nth, acc
 
                 cx, cy, _, Jc = jax.lax.fori_loop(0, N, fbody, (px, py, th, jnp.zeros_like(px0)))
-                obs_N, *_ = obstacle_terms(cx, cy)
-                Jc = Jc + obs_N
+                Jc = Jc + obstacle_value(cx, cy)
                 expected = -(alpha * dV1 + alpha * alpha * dV2)
                 Jc = jnp.where(jnp.isnan(Jc), jnp.inf, Jc)
                 ok = Jc <= J - c1 * jnp.maximum(expected, 0.0)
                 newly = jnp.where(jnp.logical_and(ok, accepted < 0.5), 1.0, 0.0)
+                acc_scr[...] = jnp.maximum(accepted, newly)
 
-                def freeze(k, _):
-                    keep = (accepted + newly) > 0.5
-                    Ubest_scr[k, 0] = jnp.where(keep, Ubest_scr[k, 0], U_scr[k, 0])
-                    Ubest_scr[k, 1] = jnp.where(keep, Ubest_scr[k, 1], U_scr[k, 1])
-                    return 0
+            def alpha_step(a, carry):
+                @pl.when(jnp.min(acc_scr[...]) < 0.5)
+                def _():
+                    alpha = jnp.exp(-0.6931471805599453 * a.astype(jnp.float32))
+                    try_alpha(J, alpha)
 
-                jax.lax.fori_loop(0, N, freeze, 0)
-                return jnp.maximum(accepted, newly)
+                return carry
 
-            def alpha_step(a, accepted):
-                alpha = jnp.exp(-0.6931471805599453 * a.astype(jnp.float32))
-                return try_alpha(J, accepted, alpha)
-
-            accepted = jax.lax.fori_loop(0, settings.n_alphas, alpha_step, accepted)
-            acc_mask = accepted > 0.5
+            jax.lax.fori_loop(0, settings.n_alphas, alpha_step, 0)
+            acc_mask = acc_scr[...] > 0.5
 
             def commit(k, _):
                 U_scr[k, 0] = jnp.where(acc_mask, Ubest_scr[k, 0], U_scr[k, 0])
@@ -897,8 +911,7 @@ def make_pallas_tracking_solver(
                 ew = w - uref_ref[0, k, 1]
                 c = Q0 * ex * ex + Q1 * ey * ey + Q2 * eth * eth
                 c = c + R0 * ev * ev + R1 * ew * ew + jnp.exp(-rf * v)
-                obs_val, *_ = obstacle_terms(px, py)
-                acc = acc + c + obs_val
+                acc = acc + c + obstacle_value(px, py)
                 nx, ny, nth = F(px, py, th, v, w)
                 X_scr[k + 1, 0] = nx
                 X_scr[k + 1, 1] = ny
@@ -906,8 +919,7 @@ def make_pallas_tracking_solver(
                 return acc
 
             acc = jax.lax.fori_loop(0, N, body, jnp.zeros_like(px0))
-            obs_N, *_ = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
-            return acc + obs_N
+            return acc + obstacle_value(X_scr[N, 0], X_scr[N, 1])
 
         Jtrue = final_cost()
 
@@ -1024,6 +1036,7 @@ def make_pallas_tracking_solver(
                 pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((N, 2, 3, tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
+                pltpu.VMEM((tile_s, tile_l), jnp.float32),
             ],
             interpret=interpret,
         )(jnp.asarray(mus), x0, xref, uref, wts, obs, u0)
