@@ -51,6 +51,18 @@ def _mu_schedule_np(settings: SolverSettings) -> np.ndarray:
     return np.repeat(stages, settings.iters_per_stage).astype(np.float32)
 
 
+def _stage_arrays_np(settings: SolverSettings) -> tuple[np.ndarray, np.ndarray]:
+    """Per-iteration (stage index, is-first-iteration-of-stage) arrays for the
+    kernels' stage-level early exit."""
+    stage = np.repeat(
+        np.arange(settings.barrier_stages), settings.iters_per_stage
+    ).astype(np.int32)
+    first = np.zeros_like(stage)
+    first[0] = 1
+    first[1:] = (np.diff(stage) != 0).astype(np.int32)
+    return stage, first
+
+
 def make_pallas_point_stab_solver(
     ocp: OCP,
     settings: SolverSettings = SolverSettings(),
@@ -58,6 +70,7 @@ def make_pallas_point_stab_solver(
     interpret: bool = False,
     tile_s: int = TILE_S,
     tile_l: int = TILE_L,
+    stage_tol: float = 1e-10,
 ):
     """Build ``solve_bank(thetas, U0s) -> Solution`` (B-leading, B % 1024 == 0).
 
@@ -65,6 +78,12 @@ def make_pallas_point_stab_solver(
     :func:`~ros2_mpc_tpu.solver.problems.make_point_stabilization` (the
     kernel hard-codes that problem structure; the generic engines cover the
     rest). ``interpret=True`` runs the kernel in interpreter mode (CPU CI).
+
+    ``stage_tol``: stage-level early exit — once every scenario in a tile has
+    Newton decrement ``-(dV1+dV2) < stage_tol * (1+|J|)`` at the current
+    barrier stage (never on a stage's first iteration), the stage's remaining
+    iterations are skipped. At 1e-10 the skipped steps move U by ~1e-5 —
+    inside the engines' mutual 1e-4 parity band (tests/test_pallas.py).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -79,12 +98,15 @@ def make_pallas_point_stab_solver(
     u_lo = np.asarray(ocp.u_lo, dtype=np.float32)
     u_hi = np.asarray(ocp.u_hi, dtype=np.float32)
     mus = _mu_schedule_np(settings)
+    stage_idx, first_idx = _stage_arrays_np(settings)
     n_iters = len(mus)
     eps_int = (settings.interior_clip * (u_hi - u_lo)).astype(np.float32)
     c1 = settings.armijo_c1
 
     def kernel(
         mu_ref,  # SMEM (n_iters,): barrier schedule
+        stage_iref,  # SMEM (n_iters,): barrier stage index per iteration
+        first_iref,  # SMEM (n_iters,): 1 on a stage's first iteration
         x0g_ref,  # (6, S, L): px0, py0, th0, gx, gy, gth
         w_ref,  # (8, S, L): Q0, Q1, Q2, R0, R1, rf, obstacle_w*gain, inv_ir2
         obs_ref,  # (2, n_obs, S, L)
@@ -99,6 +121,8 @@ def make_pallas_point_stab_solver(
         kfb_scr,  # VMEM (N, 2, 3, S, L)
         Ubest_scr,  # VMEM (N, 2, S, L)
         acc_scr,  # VMEM (S, L): per-scenario line-search acceptance mask
+        reg_scr,  # VMEM (S, L): Levenberg regularizer (carried across iters)
+        done_ref,  # SMEM (1,): number of barrier stages fully converged
     ):
         # blocks carry a leading tile dim of 1
         px0, py0, th0 = x0g_ref[0, 0], x0g_ref[0, 1], x0g_ref[0, 2]
@@ -204,7 +228,8 @@ def make_pallas_point_stab_solver(
 
             return jax.lax.fori_loop(0, N, body, jnp.zeros_like(px0))
 
-        def one_iteration(t, reg):
+        def run_iteration(t):
+            reg = reg_scr[...]
             mu = mu_ref[t]
             J = rollout_cost(mu)
 
@@ -330,6 +355,23 @@ def make_pallas_point_stab_solver(
             init = tuple(zero for _ in range(11))
             (_, _, _, _, _, _, _, _, _, dV1, dV2) = jax.lax.fori_loop(0, N, bwd, init)
 
+            # ---- stage-level early exit: the per-scenario Newton decrement
+            # -(dV1+dV2) is >= 0 (dV2 == -dV1/2 for the exact step) and decays
+            # quadratically within a barrier stage; once the whole tile is
+            # below stage_tol*(1+|J|), the remaining iterations at this mu are
+            # no-ops — mark the stage done so one_iteration skips them. Never
+            # on a stage's first iteration (a fresh mu resets the decrement).
+            dec = -(dV1 + dV2)
+
+            @pl.when(
+                jnp.logical_and(
+                    first_iref[t] == 0,
+                    jnp.max(dec - stage_tol * (1.0 + jnp.abs(J))) < 0.0,
+                )
+            )
+            def _mark_stage_done():
+                done_ref[0] = stage_iref[t] + 1
+
             # ---- line search: alphas descending, per-scenario first-accept ----
             # `acc_scr` is a float mask (1.0 = accepted): carrying i1 vectors
             # through scf loops trips a Mosaic layout bug (vector<8x128x32xi1>
@@ -400,15 +442,23 @@ def make_pallas_point_stab_solver(
                 return 0
 
             jax.lax.fori_loop(0, N, commit, 0)
-            reg = jnp.where(
+            reg_scr[...] = jnp.where(
                 acc_mask,
                 jnp.maximum(reg * 0.5, settings.reg_min),
                 jnp.minimum(reg * 10.0 + settings.reg_min, settings.reg_max),
             )
-            return reg
 
-        reg0 = jnp.full(px0.shape, settings.reg_init, dtype=jnp.float32)
-        jax.lax.fori_loop(0, n_iters, one_iteration, reg0)
+        reg_scr[...] = jnp.full(px0.shape, settings.reg_init, dtype=jnp.float32)
+        done_ref[0] = 0
+
+        def one_iteration(t, carry):
+            @pl.when(done_ref[0] <= stage_iref[t])
+            def _():
+                run_iteration(t)
+
+            return carry
+
+        jax.lax.fori_loop(0, n_iters, one_iteration, 0)
 
         # ---- final rollout, true cost, adjoint KKT residual ----
         def final_cost():
@@ -530,6 +580,8 @@ def make_pallas_point_stab_solver(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((n_iters,), lambda i: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_iters,), lambda i: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_iters,), lambda i: (0,), memory_space=pltpu.SMEM),
                 bspec(6, tile_s, tile_l),
                 bspec(8, tile_s, tile_l),
                 bspec(2, n_obs, tile_s, tile_l),
@@ -549,9 +601,11 @@ def make_pallas_point_stab_solver(
                 pltpu.VMEM((N, 2, 3, tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((tile_s, tile_l), jnp.float32),
+                pltpu.VMEM((tile_s, tile_l), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
             ],
             interpret=interpret,
-        )(jnp.asarray(mus), x0g, wts, obs, u0)
+        )(jnp.asarray(mus), jnp.asarray(stage_idx), jnp.asarray(first_idx), x0g, wts, obs, u0)
 
         def unpack(arr):  # (n_tiles, *s, S, L) -> (B, *s)
             moved = jnp.moveaxis(arr, 0, -3)  # (*s, n_tiles, S, L)
@@ -582,6 +636,7 @@ def make_pallas_tracking_solver(
     interpret: bool = False,
     tile_s: int = TILE_S,
     tile_l: int = TILE_L,
+    stage_tol: float = 1e-10,
 ):
     """Whole-solver Pallas kernel for the trajectory-tracking formulation
     (make_tracking): Euler transition (quirk #3), time-varying x/u references
@@ -599,12 +654,15 @@ def make_pallas_tracking_solver(
     u_lo = np.asarray(ocp.u_lo, dtype=np.float32)
     u_hi = np.asarray(ocp.u_hi, dtype=np.float32)
     mus = _mu_schedule_np(settings)
+    stage_idx, first_idx = _stage_arrays_np(settings)
     n_iters = len(mus)
     eps_int = (settings.interior_clip * (u_hi - u_lo)).astype(np.float32)
     c1 = settings.armijo_c1
 
     def kernel(
         mu_ref,  # SMEM (n_iters,)
+        stage_iref,  # SMEM (n_iters,)
+        first_iref,  # SMEM (n_iters,)
         x0_ref,  # (3, S, L)
         xref_ref,  # (N, 3, S, L)
         uref_ref,  # (N, 2, S, L)
@@ -621,6 +679,8 @@ def make_pallas_tracking_solver(
         kfb_scr,
         Ubest_scr,
         acc_scr,
+        reg_scr,
+        done_ref,
     ):
         px0, py0, th0 = x0_ref[0, 0], x0_ref[0, 1], x0_ref[0, 2]
         Q0, Q1, Q2 = w_ref[0, 0], w_ref[0, 1], w_ref[0, 2]
@@ -710,7 +770,8 @@ def make_pallas_tracking_solver(
             # terminal obstacle term (the tracking OCP's stage-N cost)
             return acc + obstacle_value(X_scr[N, 0], X_scr[N, 1])
 
-        def one_iteration(t, reg):
+        def run_iteration(t):
+            reg = reg_scr[...]
             mu = mu_ref[t]
             J = rollout_cost(mu)
 
@@ -832,6 +893,18 @@ def make_pallas_tracking_solver(
             init = (tgx, tgy, zero, thxx, thxy, zero, thyy, zero, zero, zero, zero)
             (_, _, _, _, _, _, _, _, _, dV1, dV2) = jax.lax.fori_loop(0, N, bwd, init)
 
+            # Stage-level early exit (see the point-stabilization kernel).
+            dec = -(dV1 + dV2)
+
+            @pl.when(
+                jnp.logical_and(
+                    first_iref[t] == 0,
+                    jnp.max(dec - stage_tol * (1.0 + jnp.abs(J))) < 0.0,
+                )
+            )
+            def _mark_stage_done():
+                done_ref[0] = stage_iref[t] + 1
+
             # Same first-accept line search as the point-stabilization kernel:
             # acc_scr lives in scratch so pl.when can skip remaining alphas
             # once the whole tile has accepted; rejected candidates left in
@@ -886,15 +959,23 @@ def make_pallas_tracking_solver(
                 return 0
 
             jax.lax.fori_loop(0, N, commit, 0)
-            reg = jnp.where(
+            reg_scr[...] = jnp.where(
                 acc_mask,
                 jnp.maximum(reg * 0.5, settings.reg_min),
                 jnp.minimum(reg * 10.0 + settings.reg_min, settings.reg_max),
             )
-            return reg
 
-        reg0 = jnp.full(px0.shape, settings.reg_init, dtype=jnp.float32)
-        jax.lax.fori_loop(0, n_iters, one_iteration, reg0)
+        reg_scr[...] = jnp.full(px0.shape, settings.reg_init, dtype=jnp.float32)
+        done_ref[0] = 0
+
+        def one_iteration(t, carry):
+            @pl.when(done_ref[0] <= stage_iref[t])
+            def _():
+                run_iteration(t)
+
+            return carry
+
+        jax.lax.fori_loop(0, n_iters, one_iteration, 0)
 
         def final_cost():
             X_scr[0, 0] = px0
@@ -1016,6 +1097,8 @@ def make_pallas_tracking_solver(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((n_iters,), lambda i: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_iters,), lambda i: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_iters,), lambda i: (0,), memory_space=pltpu.SMEM),
                 bspec(3, tile_s, tile_l),
                 bspec(N, 3, tile_s, tile_l),
                 bspec(N, 2, tile_s, tile_l),
@@ -1037,9 +1120,21 @@ def make_pallas_tracking_solver(
                 pltpu.VMEM((N, 2, 3, tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((N, 2, tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((tile_s, tile_l), jnp.float32),
+                pltpu.VMEM((tile_s, tile_l), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
             ],
             interpret=interpret,
-        )(jnp.asarray(mus), x0, xref, uref, wts, obs, u0)
+        )(
+            jnp.asarray(mus),
+            jnp.asarray(stage_idx),
+            jnp.asarray(first_idx),
+            x0,
+            xref,
+            uref,
+            wts,
+            obs,
+            u0,
+        )
 
         def unpack(arr):
             moved = jnp.moveaxis(arr, 0, -3)
