@@ -6,6 +6,7 @@ from .mesh import (
     make_mesh,
     shard_bank,
 )
+from .fleet import make_fleet_rollout, make_sharded_fleet_rollout, random_fleet
 from .sweep import SweepSpec, build_sweep_thetas, run_sweep
 from . import distributed
 
@@ -16,6 +17,9 @@ __all__ = [
     "make_host_chip_mesh",
     "make_mesh",
     "shard_bank",
+    "make_fleet_rollout",
+    "make_sharded_fleet_rollout",
+    "random_fleet",
     "SweepSpec",
     "build_sweep_thetas",
     "run_sweep",

@@ -34,35 +34,32 @@ class FleetResult(NamedTuple):
     trajectories: Optional[jnp.ndarray]  # (T+1, B, 3) when record=True
 
 
-def make_fleet_rollout(
-    problem,
-    n_ticks: int,
-    dt: float,
-    goal_threshold: float = 0.2,
-    record: bool = False,
-    engine: str = "vmap",
-):
-    """Build ``rollout(thetas, U0s) -> FleetResult`` — the full closed loop
-    under jit. ``thetas`` is a B-leading point-stabilization bank (the goal
-    field drives each robot); plant integration is RK4 at the control rate.
-    ``engine``: 'vmap' | 'fast' (lane-aligned) | 'pallas' (TPU kernel,
-    bank multiple of 1024).
-    """
+def _make_batched_solve(problem, engine: str, **engine_opts):
+    """Scenario-bank solve for the fleet tick: same engine menu as
+    parallel.mesh.make_bank_solver (point-stabilization banks only — the
+    fleet's goal field drives each robot)."""
     if engine == "fast":
         from ..solver.batched import make_bank_solver_fast
 
-        batched_solve = make_bank_solver_fast(problem.ocp, problem.settings)
-    elif engine == "pallas":
+        return make_bank_solver_fast(problem.ocp, problem.settings, **engine_opts)
+    if engine == "pallas":
         from ..solver.pallas_kernel import make_pallas_point_stab_solver
 
-        batched_solve = make_pallas_point_stab_solver(problem.ocp, problem.settings)
-    else:
-        batched_solve = jax.vmap(problem.solve)
+        engine_opts.setdefault("interpret", jax.default_backend() != "tpu")
+        return make_pallas_point_stab_solver(problem.ocp, problem.settings, **engine_opts)
+    return jax.vmap(problem.solve)
+
+
+def _make_rollout_body(problem, n_ticks, dt, record, engine, **engine_opts):
+    """The per-shard closed loop: ``body(thetas, U0s) -> (xs, traj|None)``
+    with every output B-leading (so it shards cleanly over the scenario
+    axis — no cross-robot coupling anywhere inside the scan)."""
+    batched_solve = _make_batched_solve(problem, engine, **engine_opts)
 
     def plant(x, u):
         return rk4_step(unicycle.f, x, u, dt)
 
-    def rollout(thetas, U0s):
+    def body(thetas, U0s):
         x0s = thetas["x0"]
 
         def tick(carry, _):
@@ -77,18 +74,96 @@ def make_fleet_rollout(
             return (xs_next, warm_next), (xs_next if record else None)
 
         (xs, _), traj = jax.lax.scan(tick, (x0s, U0s), None, length=n_ticks)
-        goal_dist = jnp.linalg.norm(xs[:, :2] - thetas["goal"][:, :2], axis=-1)
-        return FleetResult(
-            final_states=xs,
-            goal_dist=goal_dist,
-            reach_fraction=jnp.mean((goal_dist < goal_threshold).astype(jnp.float32)),
-            mean_dist=jnp.mean(goal_dist),
-            trajectories=(
-                jnp.concatenate([x0s[None], traj], axis=0) if record else None
-            ),
-        )
+        if record:
+            return xs, jnp.concatenate([x0s[None], traj], axis=0)
+        return xs, None
+
+    return body
+
+
+def _fleet_summary(xs, traj, thetas, goal_threshold):
+    goal_dist = jnp.linalg.norm(xs[:, :2] - thetas["goal"][:, :2], axis=-1)
+    return FleetResult(
+        final_states=xs,
+        goal_dist=goal_dist,
+        reach_fraction=jnp.mean((goal_dist < goal_threshold).astype(jnp.float32)),
+        mean_dist=jnp.mean(goal_dist),
+        trajectories=traj,
+    )
+
+
+def make_fleet_rollout(
+    problem,
+    n_ticks: int,
+    dt: float,
+    goal_threshold: float = 0.2,
+    record: bool = False,
+    engine: str = "vmap",
+):
+    """Build ``rollout(thetas, U0s) -> FleetResult`` — the full closed loop
+    under jit. ``thetas`` is a B-leading point-stabilization bank (the goal
+    field drives each robot); plant integration is RK4 at the control rate.
+    ``engine``: 'vmap' | 'fast' (lane-aligned) | 'pallas' (TPU kernel,
+    bank multiple of 1024).
+    """
+    body = _make_rollout_body(problem, n_ticks, dt, record, engine)
+
+    def rollout(thetas, U0s):
+        xs, traj = body(thetas, U0s)
+        return _fleet_summary(xs, traj, thetas, goal_threshold)
 
     return jax.jit(rollout)
+
+
+def make_sharded_fleet_rollout(
+    problem,
+    mesh,
+    n_ticks: int,
+    dt: float,
+    goal_threshold: float = 0.2,
+    record: bool = False,
+    engine: str = "vmap",
+    **engine_opts,
+):
+    """The fleet closed loop sharded over a device mesh: each device runs the
+    whole ``lax.scan`` control loop on its local scenario shard (robots are
+    independent, so no per-tick collectives exist to pay for), and only the
+    end-of-rollout fleet statistics (reach fraction, mean goal distance)
+    reduce across the mesh. This is BASELINE config 3 at pod scale: K chips
+    roll K x (B/K) robots in the same wall-clock as one chip rolls B/K.
+
+    Per-device batch must satisfy the engine packing ('fast': multiple of
+    ``lanes``; 'pallas': multiple of ``tile_s * tile_l``). Inputs should be
+    placed with :func:`~ros2_mpc_tpu.parallel.mesh.shard_bank`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis_names = tuple(mesh.axis_names)
+    batch_spec = P(axis_names)
+    shard = NamedSharding(mesh, batch_spec)
+
+    body = _make_rollout_body(problem, n_ticks, dt, record, engine, **engine_opts)
+
+    def per_shard(thetas, U0s):
+        xs, traj = body(thetas, U0s)
+        return (xs, traj) if record else xs
+
+    sharded_body = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(batch_spec, batch_spec),
+        out_specs=(batch_spec, P(None, *axis_names)) if record else batch_spec,
+        check_vma=False,
+    )
+
+    def rollout(thetas, U0s):
+        out = sharded_body(thetas, U0s)
+        xs, traj = out if record else (out, None)
+        # reductions happen outside the shard_map: GSPMD lowers the means to
+        # all-reduces over the mesh (ICI within a slice, DCN across slices)
+        return _fleet_summary(xs, traj, thetas, goal_threshold)
+
+    return jax.jit(rollout, in_shardings=(shard, shard))
 
 
 def random_fleet(problem, B: int, seed: int = 0, spread: float = 1.2):

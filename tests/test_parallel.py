@@ -179,3 +179,59 @@ def test_pallas_engine_rejects_terminal_cost_problems():
     mesh = make_mesh(1)
     with _pytest.raises(ValueError, match="terminal"):
         make_bank_solver(prob, mesh, engine="pallas")
+
+
+def test_sharded_fleet_rollout_matches_unsharded():
+    """The closed-loop fleet evaluator sharded over the 8-device mesh must
+    produce the same trajectories and fleet statistics as the single-device
+    rollout — robots are independent, so sharding must be exact up to f32
+    reduction order."""
+    from ros2_mpc_tpu.parallel.fleet import (
+        make_fleet_rollout,
+        make_sharded_fleet_rollout,
+        random_fleet,
+    )
+
+    prob = _problem(horizon=6)
+    B = 32
+    thetas, U0 = random_fleet(prob, B, seed=5, spread=0.8)
+    n_ticks, dt = 8, PARAMS.dt
+
+    plain = make_fleet_rollout(prob, n_ticks, dt)
+    res_plain = plain(thetas, U0)
+
+    mesh = make_mesh()
+    sharded = make_sharded_fleet_rollout(prob, mesh, n_ticks, dt)
+    res_shard = sharded(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+
+    np.testing.assert_allclose(
+        np.asarray(res_shard.final_states), np.asarray(res_plain.final_states), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(res_shard.reach_fraction), float(res_plain.reach_fraction), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(res_shard.mean_dist), float(res_plain.mean_dist), atol=1e-5
+    )
+    # the rollout really ran sharded
+    assert len(res_shard.final_states.sharding.device_set) == 8
+
+
+def test_sharded_fleet_rollout_fast_engine_records_trajectories():
+    """Sharded fleet with the lane-aligned engine + trajectory recording:
+    the (T+1, B, 3) trace shards over the robot axis, and every robot moves."""
+    from ros2_mpc_tpu.parallel.fleet import make_sharded_fleet_rollout, random_fleet
+
+    prob = _problem(horizon=6)
+    B = 64  # 8 per device, lanes=8
+    thetas, U0 = random_fleet(prob, B, seed=6, spread=0.8)
+    mesh = make_mesh()
+    roll = make_sharded_fleet_rollout(
+        prob, mesh, n_ticks=6, dt=PARAMS.dt, record=True, engine="fast", lanes=8
+    )
+    res = roll(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    traj = np.asarray(res.trajectories)
+    assert traj.shape == (7, B, 3)
+    assert np.all(np.isfinite(traj))
+    moved = np.linalg.norm(traj[-1, :, :2] - traj[0, :, :2], axis=-1)
+    assert np.all(moved > 1e-4)
