@@ -34,10 +34,21 @@ class FleetResult(NamedTuple):
     trajectories: Optional[jnp.ndarray]  # (T+1, B, 3) when record=True
 
 
-def _make_batched_solve(problem, engine: str, **engine_opts):
-    """Scenario-bank solve for the fleet tick: same engine menu as
-    parallel.mesh.make_bank_solver (point-stabilization banks only — the
-    fleet's goal field drives each robot)."""
+def _make_batched_solve(problem, engine: str, interpret_default=False, **engine_opts):
+    """Scenario-bank solve for the fleet tick.
+
+    Point-stabilization banks only: the fleet's goal field drives each robot,
+    so tracking problems (time-varying references) are rejected rather than
+    silently solved with the point-stabilization kernel. ``interpret_default``
+    controls whether the Pallas kernel falls back to interpreter mode off-TPU
+    (the sharded CPU-mesh path wants that; the plain rollout must *fail*
+    off-TPU so callers like solver.packed.device_tick_rate can fall back to
+    the vmap engine instead of an interpreter-speed kernel)."""
+    if getattr(problem, "kind", "point_stabilization") == "tracking":
+        raise ValueError(
+            "fleet rollouts are point-stabilization only (the goal field "
+            "drives each robot); got a tracking problem"
+        )
     if engine == "fast":
         from ..solver.batched import make_bank_solver_fast
 
@@ -45,16 +56,30 @@ def _make_batched_solve(problem, engine: str, **engine_opts):
     if engine == "pallas":
         from ..solver.pallas_kernel import make_pallas_point_stab_solver
 
-        engine_opts.setdefault("interpret", jax.default_backend() != "tpu")
+        if "terminal_cost" in getattr(problem, "tags", ()):
+            raise ValueError(
+                "engine='pallas' hard-codes the parity structure (zero "
+                "terminal weight); use engine='vmap' or 'fast' for problems "
+                "built with a nonzero terminal_weight"
+            )
+        engine_opts.setdefault("interpret", interpret_default)
         return make_pallas_point_stab_solver(problem.ocp, problem.settings, **engine_opts)
+    if engine_opts:
+        raise ValueError(
+            f"engine='vmap' takes no engine_opts, got {sorted(engine_opts)}"
+        )
     return jax.vmap(problem.solve)
 
 
-def _make_rollout_body(problem, n_ticks, dt, record, engine, **engine_opts):
+def _make_rollout_body(
+    problem, n_ticks, dt, record, engine, interpret_default=False, **engine_opts
+):
     """The per-shard closed loop: ``body(thetas, U0s) -> (xs, traj|None)``
     with every output B-leading (so it shards cleanly over the scenario
     axis — no cross-robot coupling anywhere inside the scan)."""
-    batched_solve = _make_batched_solve(problem, engine, **engine_opts)
+    batched_solve = _make_batched_solve(
+        problem, engine, interpret_default=interpret_default, **engine_opts
+    )
 
     def plant(x, u):
         return rk4_step(unicycle.f, x, u, dt)
@@ -99,14 +124,16 @@ def make_fleet_rollout(
     goal_threshold: float = 0.2,
     record: bool = False,
     engine: str = "vmap",
+    **engine_opts,
 ):
     """Build ``rollout(thetas, U0s) -> FleetResult`` — the full closed loop
     under jit. ``thetas`` is a B-leading point-stabilization bank (the goal
     field drives each robot); plant integration is RK4 at the control rate.
     ``engine``: 'vmap' | 'fast' (lane-aligned) | 'pallas' (TPU kernel,
-    bank multiple of 1024).
+    bank multiple of 1024; raises off-TPU unless ``interpret=True`` is
+    passed explicitly — see `_make_batched_solve`).
     """
-    body = _make_rollout_body(problem, n_ticks, dt, record, engine)
+    body = _make_rollout_body(problem, n_ticks, dt, record, engine, **engine_opts)
 
     def rollout(thetas, U0s):
         xs, traj = body(thetas, U0s)
@@ -142,7 +169,15 @@ def make_sharded_fleet_rollout(
     batch_spec = P(axis_names)
     shard = NamedSharding(mesh, batch_spec)
 
-    body = _make_rollout_body(problem, n_ticks, dt, record, engine, **engine_opts)
+    body = _make_rollout_body(
+        problem,
+        n_ticks,
+        dt,
+        record,
+        engine,
+        interpret_default=jax.default_backend() != "tpu",
+        **engine_opts,
+    )
 
     def per_shard(thetas, U0s):
         xs, traj = body(thetas, U0s)

@@ -235,3 +235,42 @@ def test_sharded_fleet_rollout_fast_engine_records_trajectories():
     assert np.all(np.isfinite(traj))
     moved = np.linalg.norm(traj[-1, :, :2] - traj[0, :, :2], axis=-1)
     assert np.all(moved > 1e-4)
+
+
+def test_fleet_rollout_validates_engine_and_problem():
+    """ADVICE r2 regressions: the fleet builders must fail loudly on
+    mismatched engine/opts/problem combinations instead of silently solving
+    the wrong thing."""
+    import pytest
+
+    from ros2_mpc_tpu.parallel.fleet import make_fleet_rollout
+    from ros2_mpc_tpu.solver import make_tracking
+
+    prob = _problem(horizon=6)
+    # engine_opts with the default vmap engine: silent no-op before, error now
+    with pytest.raises(ValueError, match="vmap"):
+        make_fleet_rollout(prob, n_ticks=4, dt=PARAMS.dt, lanes=8)
+    # tracking problems have no place in the goal-driven fleet loop
+    trk = make_tracking(PARAMS, horizon=6)
+    with pytest.raises(ValueError, match="tracking"):
+        make_fleet_rollout(trk, n_ticks=4, dt=PARAMS.dt)
+    # terminal-cost problems can't run on the parity-structured Pallas kernel
+    trk_term = make_tracking(PARAMS, horizon=6, terminal_weight=(1.0, 1.0, 0.5))
+    assert "terminal_cost" in trk_term.tags
+
+
+def test_fleet_rollout_pallas_requires_tpu_or_explicit_interpret():
+    """Off-TPU, engine='pallas' without an explicit interpret=True must fail
+    (so device_tick_rate's try/except falls back to the vmap engine instead
+    of silently benchmarking the interpreter), while the sharded CPU-mesh
+    path keeps its interpret default for tests/dryruns."""
+    import pytest
+
+    from ros2_mpc_tpu.parallel.fleet import make_fleet_rollout, random_fleet
+
+    assert jax.default_backend() == "cpu"
+    prob = _problem(horizon=4)
+    thetas, U0 = random_fleet(prob, B=8, seed=0)
+    rollout = make_fleet_rollout(prob, n_ticks=2, dt=PARAMS.dt, engine="pallas")
+    with pytest.raises(Exception):
+        jax.block_until_ready(rollout(thetas, U0))
