@@ -83,7 +83,11 @@ def main():
     try:
         from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_point_stab_solver
 
-        solve = jax.jit(make_pallas_point_stab_solver(prob.ocp, prob.settings))
+        # tile_s=16 is the measured best for obstacle-inert banks (the
+        # dynamic obstacle skip leaves VMEM headroom for double sublane
+        # tiles); obstacle-active banks below re-jit at the default (8, 128)
+        # where the 160-point obstacle buffers fit without spills.
+        solve = jax.jit(make_pallas_point_stab_solver(prob.ocp, prob.settings, tile_s=16))
         sols = solve(thetas, U0)
         jax.block_until_ready(sols)
     except Exception as e:  # noqa: BLE001
@@ -184,12 +188,18 @@ def main():
         thetas_c = jax.vmap(prob_c.make_theta)(
             jnp.asarray(x0), jnp.asarray(goal), jnp.asarray(obs_x), jnp.asarray(obs_y)
         )
-        sols_c = solve(thetas_c, U0)
+        if engine == "pallas":
+            # default (8, 128) tiles: measured best when the obstacle
+            # buffers are live (tile_s=16 spills VMEM on this path)
+            solve_c = jax.jit(make_pallas_point_stab_solver(prob.ocp, prob.settings))
+        else:
+            solve_c = solve
+        sols_c = solve_c(thetas_c, U0)
         jax.block_until_ready(sols_c)
         tc = []
         for _ in range(2):
             t0 = time.perf_counter()
-            outs = [solve(thetas_c, U0) for _ in range(8)]
+            outs = [solve_c(thetas_c, U0) for _ in range(8)]
             jax.block_until_ready(outs)
             tc.append(time.perf_counter() - t0)
         secondary["corrected_obstacle_solves_per_s"] = round(8 * BATCH / min(tc), 1)
@@ -256,7 +266,7 @@ def main():
         prob_f = _mk(params, horizon=N_HORIZON, settings=SolverSettings.fast())
         from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_point_stab_solver as _mk_pl
 
-        solve_f = jax.jit(_mk_pl(prob_f.ocp, prob_f.settings))
+        solve_f = jax.jit(_mk_pl(prob_f.ocp, prob_f.settings, tile_s=16))
         sols_f = solve_f(thetas, U0)
         jax.block_until_ready(sols_f)
         tf = []

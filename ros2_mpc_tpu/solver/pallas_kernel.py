@@ -135,6 +135,13 @@ def make_pallas_point_stab_solver(
         obs_x_all = obs_ref[0, 0]  # (n_obs, S, L)
         obs_y_all = obs_ref[0, 1]
 
+        # Obstacle terms are the kernel's FLOP majority (n_obs exp chains per
+        # stage evaluation). When the whole tile's obstacle weight is zero —
+        # the reference-parity formulation (quirk #1) and open-floor banks —
+        # every term is exactly 0, so skip the chains dynamically. Same
+        # bits out either way; obstacle-active tiles take the live branch.
+        has_obs = jnp.max(jnp.abs(w_ref[0, 6])) > 0.0
+
         lo_v, lo_w = u_lo[0], u_lo[1]
         hi_v, hi_w = u_hi[0], u_hi[1]
 
@@ -163,26 +170,41 @@ def make_pallas_point_stab_solver(
         def obstacle_terms(px, py):
             """(value, gx, gy, hxx, hxy, hyy) of ow * sum_j exp(-r^2*inv_ir2),
             vectorized over all obstacle points: one (n_obs, S, L) fused chain
-            + axis-0 reductions (VPU-wide, no scalar loop)."""
-            dx = px[None] - obs_x_all
-            dy = py[None] - obs_y_all
-            e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
-            i2 = inv_ir2[None]
-            val = jnp.sum(e, axis=0)
-            gx_ = jnp.sum(-2.0 * i2 * dx * e, axis=0)
-            gy_ = jnp.sum(-2.0 * i2 * dy * e, axis=0)
-            hxx = jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0)
-            hyy = jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0)
-            hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
-            return val, gx_, gy_, hxx, hxy, hyy
+            + axis-0 reductions (VPU-wide, no scalar loop). Guarded by
+            ``has_obs`` — zero weights short-circuit to exact zeros."""
+
+            def live():
+                dx = px[None] - obs_x_all
+                dy = py[None] - obs_y_all
+                e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
+                i2 = inv_ir2[None]
+                val = jnp.sum(e, axis=0)
+                gx_ = jnp.sum(-2.0 * i2 * dx * e, axis=0)
+                gy_ = jnp.sum(-2.0 * i2 * dy * e, axis=0)
+                hxx = jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0)
+                hyy = jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0)
+                hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
+                return val, gx_, gy_, hxx, hxy, hyy
+
+            def dead():
+                z = jnp.zeros_like(px)
+                return z, z, z, z, z, z
+
+            return jax.lax.cond(has_obs, live, dead)
 
         def obstacle_value(px, py):
             """Value-only obstacle sum for cost evaluation (rollouts / line
             search): one exp chain + one reduction — does not rely on the
             compiler DCE-ing the five unused gradient/Hessian reductions."""
-            dx = px[None] - obs_x_all
-            dy = py[None] - obs_y_all
-            return jnp.sum(ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0)
+
+            def live():
+                dx = px[None] - obs_x_all
+                dy = py[None] - obs_y_all
+                return jnp.sum(
+                    ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0
+                )
+
+            return jax.lax.cond(has_obs, live, lambda: jnp.zeros_like(px))
 
         def stage_cost(px, py, th, v, w, mu):
             ex, ey, eth = px - gx, py - gy, th - gth
@@ -690,6 +712,8 @@ def make_pallas_tracking_solver(
         inv_ir2 = w_ref[0, 7]
         obs_x_all = obs_ref[0, 0]
         obs_y_all = obs_ref[0, 1]
+        # dynamic obstacle skip — see the point-stabilization kernel
+        has_obs = jnp.max(jnp.abs(w_ref[0, 6])) > 0.0
         lo_v, lo_w = u_lo[0], u_lo[1]
         hi_v, hi_w = u_hi[0], u_hi[1]
 
@@ -704,23 +728,36 @@ def make_pallas_tracking_solver(
             return -dt * v * s, dt * v * c, dt * c, dt * s
 
         def obstacle_terms(px, py):
-            dx = px[None] - obs_x_all
-            dy = py[None] - obs_y_all
-            e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
-            i2 = inv_ir2[None]
-            val = jnp.sum(e, axis=0)
-            gx_ = jnp.sum(-2.0 * i2 * dx * e, axis=0)
-            gy_ = jnp.sum(-2.0 * i2 * dy * e, axis=0)
-            hxx = jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0)
-            hyy = jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0)
-            hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
-            return val, gx_, gy_, hxx, hxy, hyy
+            def live():
+                dx = px[None] - obs_x_all
+                dy = py[None] - obs_y_all
+                e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
+                i2 = inv_ir2[None]
+                val = jnp.sum(e, axis=0)
+                gx_ = jnp.sum(-2.0 * i2 * dx * e, axis=0)
+                gy_ = jnp.sum(-2.0 * i2 * dy * e, axis=0)
+                hxx = jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0)
+                hyy = jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0)
+                hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
+                return val, gx_, gy_, hxx, hxy, hyy
+
+            def dead():
+                z = jnp.zeros_like(px)
+                return z, z, z, z, z, z
+
+            return jax.lax.cond(has_obs, live, dead)
 
         def obstacle_value(px, py):
             """Value-only obstacle sum (see the point-stabilization kernel)."""
-            dx = px[None] - obs_x_all
-            dy = py[None] - obs_y_all
-            return jnp.sum(ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0)
+
+            def live():
+                dx = px[None] - obs_x_all
+                dy = py[None] - obs_y_all
+                return jnp.sum(
+                    ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0
+                )
+
+            return jax.lax.cond(has_obs, live, lambda: jnp.zeros_like(px))
 
         def stage_cost(k, px, py, th, v, w, mu):
             ex = px - xref_ref[0, k, 0]
