@@ -136,11 +136,22 @@ def make_pallas_point_stab_solver(
         obs_y_all = obs_ref[0, 1]
 
         # Obstacle terms are the kernel's FLOP majority (n_obs exp chains per
-        # stage evaluation). When the whole tile's obstacle weight is zero —
-        # the reference-parity formulation (quirk #1) and open-floor banks —
-        # every term is exactly 0, so skip the chains dynamically. Same
-        # bits out either way; obstacle-active tiles take the live branch.
+        # stage evaluation). Two dynamic cuts, both bit-exact:
+        # * zero weight for the whole tile — the reference-parity formulation
+        #   (quirk #1) and open-floor banks — skips the chains entirely;
+        # * far sentinels: the node layer pads obstacle vectors to length
+        #   n_obs with points at 100 m (quirk #10 corrected mode), whose
+        #   Gaussian term underflows to exactly 0.0 in f32. Points beyond
+        #   +-90 m are sentinels by that convention (workspaces are tens of
+        #   meters), and the live points always form a prefix, so the chunked
+        #   loop below stops after the last live chunk.
         has_obs = jnp.max(jnp.abs(w_ref[0, 6])) > 0.0
+        n_obs = obs_x_all.shape[0]
+        obs_chunk = 8 if n_obs % 8 == 0 else n_obs
+        pt_live = jnp.logical_or(jnp.abs(obs_x_all) < 90.0, jnp.abs(obs_y_all) < 90.0)
+        idx1 = jax.lax.broadcasted_iota(jnp.int32, pt_live.shape, 0) + 1
+        n_live = jnp.max(jnp.where(pt_live, idx1, 0))
+        n_chunks_live = (n_live + obs_chunk - 1) // obs_chunk
 
         lo_v, lo_w = u_lo[0], u_lo[1]
         hi_v, hi_w = u_hi[0], u_hi[1]
@@ -169,21 +180,31 @@ def make_pallas_point_stab_solver(
 
         def obstacle_terms(px, py):
             """(value, gx, gy, hxx, hxy, hyy) of ow * sum_j exp(-r^2*inv_ir2),
-            vectorized over all obstacle points: one (n_obs, S, L) fused chain
-            + axis-0 reductions (VPU-wide, no scalar loop). Guarded by
-            ``has_obs`` — zero weights short-circuit to exact zeros."""
+            accumulated over live obstacle chunks (VPU-wide, no scalar loop).
+            Guarded by ``has_obs``; sentinel-tail chunks are never visited."""
 
             def live():
-                dx = px[None] - obs_x_all
-                dy = py[None] - obs_y_all
-                e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
-                i2 = inv_ir2[None]
-                val = jnp.sum(e, axis=0)
-                gx_ = jnp.sum(-2.0 * i2 * dx * e, axis=0)
-                gy_ = jnp.sum(-2.0 * i2 * dy * e, axis=0)
-                hxx = jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0)
-                hyy = jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0)
-                hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
+                def chunk(ci, acc):
+                    val, gx_, gy_, hxx, hxy, hyy = acc
+                    ox = obs_ref[0, 0, pl.ds(ci * obs_chunk, obs_chunk)]
+                    oy = obs_ref[0, 1, pl.ds(ci * obs_chunk, obs_chunk)]
+                    dx = px[None] - ox
+                    dy = py[None] - oy
+                    e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
+                    i2 = inv_ir2[None]
+                    return (
+                        val + jnp.sum(e, axis=0),
+                        gx_ + jnp.sum(-2.0 * i2 * dx * e, axis=0),
+                        gy_ + jnp.sum(-2.0 * i2 * dy * e, axis=0),
+                        hxx + jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0),
+                        hxy + jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0),
+                        hyy + jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0),
+                    )
+
+                z = jnp.zeros_like(px)
+                val, gx_, gy_, hxx, hxy, hyy = jax.lax.fori_loop(
+                    0, n_chunks_live, chunk, (z, z, z, z, z, z)
+                )
                 return val, gx_, gy_, hxx, hxy, hyy
 
             def dead():
@@ -194,15 +215,20 @@ def make_pallas_point_stab_solver(
 
         def obstacle_value(px, py):
             """Value-only obstacle sum for cost evaluation (rollouts / line
-            search): one exp chain + one reduction — does not rely on the
-            compiler DCE-ing the five unused gradient/Hessian reductions."""
+            search): one exp chain + one reduction per live chunk — does not
+            rely on the compiler DCE-ing the unused gradient/Hessian parts."""
 
             def live():
-                dx = px[None] - obs_x_all
-                dy = py[None] - obs_y_all
-                return jnp.sum(
-                    ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0
-                )
+                def chunk(ci, acc):
+                    ox = obs_ref[0, 0, pl.ds(ci * obs_chunk, obs_chunk)]
+                    oy = obs_ref[0, 1, pl.ds(ci * obs_chunk, obs_chunk)]
+                    dx = px[None] - ox
+                    dy = py[None] - oy
+                    return acc + jnp.sum(
+                        ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0
+                    )
+
+                return jax.lax.fori_loop(0, n_chunks_live, chunk, jnp.zeros_like(px))
 
             return jax.lax.cond(has_obs, live, lambda: jnp.zeros_like(px))
 
@@ -712,8 +738,15 @@ def make_pallas_tracking_solver(
         inv_ir2 = w_ref[0, 7]
         obs_x_all = obs_ref[0, 0]
         obs_y_all = obs_ref[0, 1]
-        # dynamic obstacle skip — see the point-stabilization kernel
+        # dynamic obstacle skip + live-prefix chunking — see the
+        # point-stabilization kernel
         has_obs = jnp.max(jnp.abs(w_ref[0, 6])) > 0.0
+        n_obs = obs_x_all.shape[0]
+        obs_chunk = 8 if n_obs % 8 == 0 else n_obs
+        pt_live = jnp.logical_or(jnp.abs(obs_x_all) < 90.0, jnp.abs(obs_y_all) < 90.0)
+        idx1 = jax.lax.broadcasted_iota(jnp.int32, pt_live.shape, 0) + 1
+        n_live = jnp.max(jnp.where(pt_live, idx1, 0))
+        n_chunks_live = (n_live + obs_chunk - 1) // obs_chunk
         lo_v, lo_w = u_lo[0], u_lo[1]
         hi_v, hi_w = u_hi[0], u_hi[1]
 
@@ -729,16 +762,27 @@ def make_pallas_tracking_solver(
 
         def obstacle_terms(px, py):
             def live():
-                dx = px[None] - obs_x_all
-                dy = py[None] - obs_y_all
-                e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
-                i2 = inv_ir2[None]
-                val = jnp.sum(e, axis=0)
-                gx_ = jnp.sum(-2.0 * i2 * dx * e, axis=0)
-                gy_ = jnp.sum(-2.0 * i2 * dy * e, axis=0)
-                hxx = jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0)
-                hyy = jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0)
-                hxy = jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0)
+                def chunk(ci, acc):
+                    val, gx_, gy_, hxx, hxy, hyy = acc
+                    ox = obs_ref[0, 0, pl.ds(ci * obs_chunk, obs_chunk)]
+                    oy = obs_ref[0, 1, pl.ds(ci * obs_chunk, obs_chunk)]
+                    dx = px[None] - ox
+                    dy = py[None] - oy
+                    e = ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None])
+                    i2 = inv_ir2[None]
+                    return (
+                        val + jnp.sum(e, axis=0),
+                        gx_ + jnp.sum(-2.0 * i2 * dx * e, axis=0),
+                        gy_ + jnp.sum(-2.0 * i2 * dy * e, axis=0),
+                        hxx + jnp.sum(e * (4.0 * i2 * i2 * dx * dx - 2.0 * i2), axis=0),
+                        hxy + jnp.sum(e * 4.0 * i2 * i2 * dx * dy, axis=0),
+                        hyy + jnp.sum(e * (4.0 * i2 * i2 * dy * dy - 2.0 * i2), axis=0),
+                    )
+
+                z = jnp.zeros_like(px)
+                val, gx_, gy_, hxx, hxy, hyy = jax.lax.fori_loop(
+                    0, n_chunks_live, chunk, (z, z, z, z, z, z)
+                )
                 return val, gx_, gy_, hxx, hxy, hyy
 
             def dead():
@@ -751,11 +795,16 @@ def make_pallas_tracking_solver(
             """Value-only obstacle sum (see the point-stabilization kernel)."""
 
             def live():
-                dx = px[None] - obs_x_all
-                dy = py[None] - obs_y_all
-                return jnp.sum(
-                    ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0
-                )
+                def chunk(ci, acc):
+                    ox = obs_ref[0, 0, pl.ds(ci * obs_chunk, obs_chunk)]
+                    oy = obs_ref[0, 1, pl.ds(ci * obs_chunk, obs_chunk)]
+                    dx = px[None] - ox
+                    dy = py[None] - oy
+                    return acc + jnp.sum(
+                        ow[None] * jnp.exp(-(dx * dx + dy * dy) * inv_ir2[None]), axis=0
+                    )
+
+                return jax.lax.fori_loop(0, n_chunks_live, chunk, jnp.zeros_like(px))
 
             return jax.lax.cond(has_obs, live, lambda: jnp.zeros_like(px))
 
