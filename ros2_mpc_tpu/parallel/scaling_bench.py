@@ -83,7 +83,18 @@ def run_all_engines(per_device_batch: int = 512, horizon: int = 20, reps: int = 
     """One scaling measurement per engine, with packing opts sized to the
     per-device batch — lanes/tiles must *divide* it, so non-power-of-two
     batches (e.g. 192) get the largest dividing power of two instead of a
-    blind min(128, B) that would crash the fast/pallas reshapes."""
+    blind min(128, B) that would crash the fast/pallas reshapes.
+
+    On a virtual CPU mesh the raw ``scaling_efficiency`` is bounded above by
+    ``physical_cores / devices`` for engines whose single-device baseline
+    already saturates the host (XLA's intra-op threadpool): N virtual
+    devices add no silicon. The artifact therefore also records that
+    contention ceiling and ``efficiency_vs_ceiling`` — the number that
+    isolates GSPMD/shard_map partitioning overhead, which is what the CPU
+    mesh can actually validate. On real multi-chip hardware the ceiling is
+    1.0 and both fields coincide (BASELINE target: >= 80%)."""
+    import os
+
     import jax
 
     lanes = _largest_dividing_pow2(per_device_batch, 128)
@@ -96,15 +107,20 @@ def run_all_engines(per_device_batch: int = 512, horizon: int = 20, reps: int = 
         "fast": {"lanes": lanes},
         "pallas": {"tile_s": tile_s, "tile_l": tile_l},
     }
+    n_dev = len(jax.devices())
+    on_cpu = jax.default_backend() == "cpu"
+    ceiling = min(1.0, (os.cpu_count() or 1) / n_dev) if on_cpu else 1.0
     out = {
         "backend": jax.default_backend(),
-        "devices": len(jax.devices()),
+        "devices": n_dev,
+        "physical_cores": os.cpu_count(),
+        "contention_ceiling": ceiling,
         "results": [],
     }
     for engine, opts in engines.items():
-        out["results"].append(
-            run(per_device_batch, horizon, reps, engine=engine, **opts)
-        )
+        r = run(per_device_batch, horizon, reps, engine=engine, **opts)
+        r["efficiency_vs_ceiling"] = min(1.0, r["scaling_efficiency"] / ceiling)
+        out["results"].append(r)
     return out
 
 
@@ -125,7 +141,9 @@ def main(argv=None):
             f"{r['engine']:>6}: devices={r['devices']} "
             f"1-dev={r['solves_per_s_1dev']:.0f}/s "
             f"n-dev={r['solves_per_s_ndev']:.0f}/s "
-            f"efficiency={r['scaling_efficiency'] * 100:.1f}%"
+            f"efficiency={r['scaling_efficiency'] * 100:.1f}% "
+            f"(vs contention ceiling {out['contention_ceiling'] * 100:.0f}%: "
+            f"{r['efficiency_vs_ceiling'] * 100:.1f}%)"
         )
 
 

@@ -56,9 +56,11 @@ def test_scaling_bench_all_engines(tmp_path):
     out = scaling_bench.run_all_engines(per_device_batch=8, horizon=5, reps=1)
     engines = {r["engine"] for r in out["results"]}
     assert engines == {"vmap", "fast", "pallas"}
+    assert 0.0 < out["contention_ceiling"] <= 1.0
     for r in out["results"]:
         assert r["solves_per_s_ndev"] > 0, r
         assert 0.0 < r["scaling_efficiency"] <= 2.0, r
+        assert 0.0 < r["efficiency_vs_ceiling"] <= 1.0, r
     # artifact round-trips as JSON
     p = tmp_path / "scaling.json"
     p.write_text(json.dumps(out))
