@@ -90,3 +90,44 @@ def test_pallas_tracking_kernel_matches_reference():
     )
     np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U), atol=5e-4)
     np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-3)
+
+
+def test_pallas_kernel_live_prefix_chunking_edges():
+    """The chunked obstacle loop must be exact at its edge cases: a live
+    obstacle in the *last* slot (n_live = n_obs, full loop), obstacles
+    straddling chunk boundaries, and an all-sentinel bank (n_live = 0 with a
+    nonzero weight — corrected mode on open floor)."""
+    prob = make_point_stabilization(PARAMS, horizon=N, settings=FAST, reference_parity=False)
+    B = 16
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(rng.uniform(-0.3, 0.3, size=(B, 3)))
+    goals = jnp.asarray(rng.uniform(-1.2, 1.2, size=(B, 3)))
+    n_obs = PARAMS.n_obstacle_points
+    ox = np.full((B, n_obs), 100.0)
+    oy = np.full((B, n_obs), 100.0)
+    # chunk-boundary straddle (indices 7, 8) and a live point in the LAST slot
+    ox[:, 7] = rng.uniform(0.3, 0.6, size=B)
+    oy[:, 7] = rng.uniform(-0.2, 0.2, size=B)
+    ox[:, 8] = rng.uniform(-0.6, -0.3, size=B)
+    oy[:, 8] = rng.uniform(-0.2, 0.2, size=B)
+    ox[:, n_obs - 1] = rng.uniform(0.2, 0.5, size=B)
+    oy[:, n_obs - 1] = rng.uniform(0.2, 0.5, size=B)
+    thetas = jax.vmap(prob.make_theta)(x0s, goals, jnp.asarray(ox), jnp.asarray(oy))
+    U0 = jnp.zeros((B, N, 2))
+    ref = jax.jit(jax.vmap(prob.solve))(thetas, U0)
+    got = make_pallas_point_stab_solver(prob.ocp, FAST, interpret=True, tile_s=2, tile_l=8)(
+        thetas, U0
+    )
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=2e-4)
+
+    # all-sentinel with nonzero weight: n_live == 0 short-circuits to the
+    # obstacle-free solution exactly
+    ox[:] = 100.0
+    oy[:] = 100.0
+    thetas0 = jax.vmap(prob.make_theta)(x0s, goals, jnp.asarray(ox), jnp.asarray(oy))
+    ref0 = jax.jit(jax.vmap(prob.solve))(thetas0, U0)
+    got0 = make_pallas_point_stab_solver(prob.ocp, FAST, interpret=True, tile_s=2, tile_l=8)(
+        thetas0, U0
+    )
+    np.testing.assert_allclose(np.asarray(got0.U), np.asarray(ref0.U), atol=2e-4)
