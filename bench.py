@@ -293,6 +293,33 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"device-resident tick bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # --- 1024-robot coupled swarm (mutual avoidance through live obstacle
+    # costs, per-tick B x B neighbor search + top_k, whole loop on-device).
+    try:
+        from ros2_mpc_tpu.parallel import grid_swap_swarm, make_swarm_rollout
+
+        prob_sw = make_point_stabilization(
+            params, horizon=N_HORIZON, reference_parity=False,
+            settings=SolverSettings.realtime(),
+        )
+        thetas_sw, U0_sw = grid_swap_swarm(prob_sw, side=32, pitch=2.0)
+        T_sw = 128
+        roll_sw = make_swarm_rollout(
+            prob_sw, n_ticks=T_sw, dt=params.dt, k_neighbors=4, engine="pallas"
+        )
+        out_sw = roll_sw(thetas_sw, U0_sw)
+        jax.block_until_ready(out_sw.final_states)
+        tsw = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(roll_sw(thetas_sw, U0_sw).final_states)
+            tsw.append(time.perf_counter() - t0)
+        secondary["swarm_robot_ticks_per_s"] = round(1024 * T_sw / min(tsw), 1)
+        secondary["swarm_tick_ms"] = round(min(tsw) / T_sw * 1e3, 3)
+        secondary["swarm_min_separation_m"] = round(float(out_sw.min_separation), 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"swarm bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # --- Packed single-tick (one H2D transfer, the live follower path).
     try:
         from ros2_mpc_tpu.solver.packed import make_packed_point_stab

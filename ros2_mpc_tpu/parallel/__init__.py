@@ -6,7 +6,15 @@ from .mesh import (
     make_mesh,
     shard_bank,
 )
-from .fleet import make_fleet_rollout, make_sharded_fleet_rollout, random_fleet
+from .fleet import (
+    circle_swarm,
+    grid_swap_swarm,
+    make_fleet_rollout,
+    make_sharded_fleet_rollout,
+    make_sharded_swarm_rollout,
+    make_swarm_rollout,
+    random_fleet,
+)
 from .sweep import SweepSpec, build_sweep_thetas, run_sweep
 from . import distributed
 
@@ -17,8 +25,12 @@ __all__ = [
     "make_host_chip_mesh",
     "make_mesh",
     "shard_bank",
+    "circle_swarm",
+    "grid_swap_swarm",
     "make_fleet_rollout",
     "make_sharded_fleet_rollout",
+    "make_sharded_swarm_rollout",
+    "make_swarm_rollout",
     "random_fleet",
     "SweepSpec",
     "build_sweep_thetas",
