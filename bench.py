@@ -237,7 +237,8 @@ def main():
         try:
             from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_tracking_solver
 
-            solve_t = jax.jit(make_pallas_tracking_solver(prob_t.ocp, prob_t.settings))
+            # tile_s=16: measured best for the (obstacle-inert) tracking bank
+            solve_t = jax.jit(make_pallas_tracking_solver(prob_t.ocp, prob_t.settings, tile_s=16))
             engine_t = "pallas"
             sols_t = solve_t(thetas_t, U0)
             jax.block_until_ready(sols_t)
