@@ -66,6 +66,33 @@ def main():
     err = float(np.max(np.abs(np.asarray(U_global) - np.asarray(ref.U))))
     assert err <= 1e-5, f"sharded-vs-local drift {err:.2e}"
 
+    # Coupled-fleet path: the sharded swarm all_gathers fleet positions and
+    # velocities over the global mesh EVERY control tick, so the collective
+    # crosses the process (DCN-analogue TCP) boundary. Cross-check against a
+    # process-local unsharded swarm.
+    from ros2_mpc_tpu.parallel.fleet import make_swarm_rollout, make_sharded_swarm_rollout
+    from ros2_mpc_tpu.solver import SolverSettings
+
+    tiny = SolverSettings(barrier_stages=2, iters_per_stage=2, n_alphas=4)
+    prob_c = make_point_stabilization(
+        Params(), horizon=6, settings=tiny, reference_parity=False
+    )
+    thetas_c_host = jax.tree.map(
+        np.asarray, jax.vmap(prob_c.make_theta)(jnp.asarray(x0), jnp.asarray(goal))
+    )
+    U0c_host = np.zeros((B, 6, 2), dtype=np.float32)
+    swarm = make_sharded_swarm_rollout(
+        prob_c, mesh, n_ticks=3, dt=Params().dt, k_neighbors=2
+    )
+    res_sw = swarm(jax.tree.map(to_global, thetas_c_host), to_global(U0c_host))
+    jax.block_until_ready(res_sw.final_states)
+    xs_global = multihost_utils.process_allgather(res_sw.final_states, tiled=True)
+    res_ref = make_swarm_rollout(prob_c, 3, Params().dt, k_neighbors=2)(
+        jax.tree.map(jnp.asarray, thetas_c_host), jnp.asarray(U0c_host)
+    )
+    swarm_err = float(np.max(np.abs(np.asarray(xs_global) - np.asarray(res_ref.final_states))))
+    assert swarm_err <= 1e-5, f"sharded-swarm drift {swarm_err:.2e}"
+
     out = {
         "process_index": info["process_index"],
         "process_count": info["process_count"],
@@ -73,6 +100,8 @@ def main():
         "mean_cost": float(metrics["mean_cost"]),
         "frac_converged": float(metrics["frac_converged"]),
         "max_err_vs_local": err,
+        "swarm_err_vs_local": swarm_err,
+        "swarm_min_separation": float(res_sw.min_separation),
     }
     print("DIST_OK " + json.dumps(out))
     sys.stdout.flush()
