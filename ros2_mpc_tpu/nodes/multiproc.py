@@ -205,12 +205,19 @@ def run_multiprocess(
         publish_goal(bus, goal[0], goal[1])
 
         def stop():
-            return bus.latest(STATUS_TOPIC)[0] == "goal_reached"
+            if bus.latest(STATUS_TOPIC)[0] == "goal_reached":
+                return True
+            # a crashed compute role can never reach the goal — don't burn
+            # the whole duration discovering that
+            return any(p.exitcode not in (None, 0) for p in procs)
 
         sched = RateScheduler(tasks)
         stats = sched.run(duration, stop=stop)
         stats["goal_reached"] = bus.latest(STATUS_TOPIC)[0] == "goal_reached"
         stats["final_pose"] = np.asarray(sim.pose, dtype=float)
+        stats["failed_roles"] = [
+            p.name for p in procs if p.exitcode not in (None, 0)
+        ]
     finally:
         try:
             bus.publish(SHUTDOWN_TOPIC, True)

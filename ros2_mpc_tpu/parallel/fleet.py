@@ -267,6 +267,8 @@ def make_swarm_rollout(
     — jitter the starts (see :func:`circle_swarm`)."""
     if k_neighbors < 1:
         raise ValueError("k_neighbors must be >= 1")
+    if len(predict_taus) < 1:
+        raise ValueError("predict_taus must name at least one horizon offset")
     batched_solve = _make_batched_solve(problem, engine, **engine_opts)
     taus = jnp.asarray(predict_taus, dtype=jnp.float32)
 
@@ -341,6 +343,10 @@ def make_sharded_swarm_rollout(
 
     if len(mesh.axis_names) != 1:
         raise ValueError("swarm sharding expects a 1D mesh (one robot axis)")
+    if k_neighbors < 1:
+        raise ValueError("k_neighbors must be >= 1")
+    if len(predict_taus) < 1:
+        raise ValueError("predict_taus must name at least one horizon offset")
     axis = mesh.axis_names[0]
     batch_spec = P(axis)
     shard = NamedSharding(mesh, batch_spec)
