@@ -154,9 +154,24 @@ def run_role(
         bus.close()
 
 
-def _role_entry(role, bus_path, duration, follower, horizon):
-    """Child-process entry (module-level for the spawn pickler)."""
+def _role_entry(role, bus_path, duration, follower, horizon, platform):
+    """Child-process entry (module-level for the spawn pickler).
+
+    The role's JAX platform is pinned HERE, not inherited: the interpreter
+    has already imported jax (sitecustomize) under the ambient
+    ``JAX_PLATFORMS`` — which in TPU sandboxes is the tunneled chip. Three
+    compute roles racing to claim one single-client TPU relay deadlock on
+    the grant (every child's first dispatch blocks forever), so compute
+    roles default to CPU; a TPU follower belongs in the single-process live
+    graph (nodes/live.py)."""
     logging.basicConfig(level=logging.WARNING)
+    if platform:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", platform)
+        except Exception:  # noqa: BLE001 - keep the role alive; worst case is the ambient platform
+            pass
     run_role(role, bus_path, duration, follower=follower, horizon=horizon)
 
 
@@ -169,9 +184,13 @@ def run_multiprocess(
     params: Optional[Params] = None,
     bus_path: Optional[str] = None,
     roles=("planner", "costmaps", "follower"),
+    role_platform: str = "cpu",
 ) -> dict:
     """Supervisor: spawn the compute roles as OS processes, run the world
     role here, stop everything once the follower latches the goal.
+
+    ``role_platform`` pins each child role's JAX backend (see
+    :func:`_role_entry`); pass ``""`` to inherit the ambient platform.
 
     Returns the world role's rate stats plus ``goal_reached`` / ``final_pose``.
     """
@@ -187,7 +206,7 @@ def run_multiprocess(
     procs = [
         ctx.Process(
             target=_role_entry,
-            args=(role, bus_path, duration + 30.0, follower, horizon),
+            args=(role, bus_path, duration + 30.0, follower, horizon, role_platform),
             name=f"tpu-mpc-{role}",
             daemon=True,
         )
