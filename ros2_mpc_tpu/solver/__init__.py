@@ -1,4 +1,5 @@
 from .ilqr import OCP, Solution, SolverSettings, make_solver
+from .mppi import MppiSettings, make_hybrid_solver, make_mppi_solver
 from .problems import (
     Problem,
     make_legacy_point_stabilization,
@@ -17,4 +18,7 @@ __all__ = [
     "make_tracking",
     "make_legacy_point_stabilization",
     "shift_controls",
+    "MppiSettings",
+    "make_mppi_solver",
+    "make_hybrid_solver",
 ]

@@ -1,0 +1,111 @@
+"""MPPI sampling engine + hybrid global/local solve (solver/mppi.py).
+
+The engines share the Solution contract, so MPPI answers are compared on the
+same true-cost / projected-gradient-KKT scale as the iLQR engines.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ros2_mpc_tpu.config import Params
+from ros2_mpc_tpu.solver import make_point_stabilization, make_tracking
+from ros2_mpc_tpu.solver.mppi import MppiSettings, make_hybrid_solver, make_mppi_solver
+
+PARAMS = Params()
+
+
+def _point_stab(horizon=20, parity=False):
+    return make_point_stabilization(PARAMS, horizon=horizon, reference_parity=parity)
+
+
+def test_mppi_matches_ilqr_cost_point_stab():
+    """Open-floor drive-to-pose: the sampled optimum must land within a few
+    percent of the Newton optimum (smooth convex-ish landscape)."""
+    prob = _point_stab()
+    theta = prob.make_theta(jnp.array([0.0, 0.0, 0.0]), jnp.array([0.35, 0.15, 0.4]))
+    mppi = jax.jit(make_mppi_solver(prob.ocp, MppiSettings(n_samples=192, n_iters=20)))
+    sol_m = mppi(theta, prob.default_u0, jax.random.PRNGKey(0))
+    sol_i = jax.jit(prob.solve)(theta, prob.default_u0)
+    assert bool(sol_i.converged)
+    assert float(sol_m.cost) <= 1.05 * float(sol_i.cost) + 1e-6
+    # it drives essentially the Newton-optimal approach: terminal position
+    # error within a small margin of the iLQR optimum's own
+    d_m = float(jnp.linalg.norm(sol_m.X[-1, :2] - theta["goal"][:2]))
+    d_i = float(jnp.linalg.norm(sol_i.X[-1, :2] - theta["goal"][:2]))
+    assert d_m <= d_i + 0.05
+
+
+def test_mppi_deterministic_given_key():
+    prob = _point_stab()
+    theta = prob.make_theta(jnp.zeros(3), jnp.array([0.3, -0.2, 0.0]))
+    mppi = jax.jit(make_mppi_solver(prob.ocp, MppiSettings(n_samples=64, n_iters=6)))
+    a = mppi(theta, prob.default_u0, jax.random.PRNGKey(7))
+    b = mppi(theta, prob.default_u0, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
+    c = mppi(theta, prob.default_u0, jax.random.PRNGKey(8))
+    assert not np.array_equal(np.asarray(a.U), np.asarray(c.U))
+
+
+def test_mppi_respects_bounds():
+    prob = _point_stab()
+    theta = prob.make_theta(jnp.zeros(3), jnp.array([1.5, 0.0, 0.0]))
+    mppi = jax.jit(make_mppi_solver(prob.ocp, MppiSettings(n_samples=64, n_iters=8)))
+    sol = mppi(theta, prob.default_u0, jax.random.PRNGKey(3))
+    u = np.asarray(sol.U)
+    lo, hi = np.asarray(prob.ocp.u_lo), np.asarray(prob.ocp.u_hi)
+    assert (u >= lo - 1e-7).all() and (u <= hi + 1e-7).all()
+
+
+def test_mppi_tracking_formulation():
+    """The engine is formulation-generic: tracking OCP, straight-line ref."""
+    prob = make_tracking(PARAMS, horizon=16)
+    N = prob.ocp.horizon
+    ts = (np.arange(1, N + 1) * PARAMS.dt)[:, None]
+    x_ref = np.concatenate([0.1 * ts, np.zeros((N, 2))], axis=1)
+    u_ref = np.concatenate([np.full((N, 1), 0.1), np.zeros((N, 1))], axis=1)
+    theta = prob.make_theta(jnp.zeros(3), jnp.asarray(x_ref), jnp.asarray(u_ref))
+    mppi = jax.jit(make_mppi_solver(prob.ocp, MppiSettings(n_samples=192, n_iters=20)))
+    sol_m = mppi(theta, prob.default_u0, jax.random.PRNGKey(1))
+    sol_i = jax.jit(prob.solve)(theta, prob.default_u0)
+    assert float(sol_m.cost) <= 1.10 * float(sol_i.cost) + 1e-6
+
+
+@pytest.mark.slow
+def test_hybrid_never_worse_and_lifts_convergence():
+    """On an obstacle-cluttered bank the hybrid must (a) never lose to the
+    plain iLQR on cost and (b) converge at least as many scenarios."""
+    prob = _point_stab()
+    rng = np.random.default_rng(11)
+    B = 12
+    n = PARAMS.n_obstacle_points
+    x0 = rng.uniform(-0.2, 0.2, size=(B, 3))
+    goal = np.concatenate(
+        [rng.uniform(-1.2, 1.2, size=(B, 2)), rng.uniform(-np.pi, np.pi, size=(B, 1))], axis=1
+    )
+    obs_x = np.full((B, n), 100.0)
+    obs_y = np.full((B, n), 100.0)
+    # a 3-point obstacle wall straddling each start-goal midpoint
+    mid = (x0[:, :2] + goal[:, :2]) / 2
+    seg = goal[:, :2] - x0[:, :2]
+    perp = np.stack([-seg[:, 1], seg[:, 0]], axis=1)
+    perp /= np.linalg.norm(perp, axis=1, keepdims=True) + 1e-9
+    for j, off in enumerate((-0.12, 0.0, 0.12)):
+        obs_x[:, j] = mid[:, 0] + off * perp[:, 0]
+        obs_y[:, j] = mid[:, 1] + off * perp[:, 1]
+    thetas = jax.vmap(prob.make_theta)(
+        jnp.asarray(x0), jnp.asarray(goal), jnp.asarray(obs_x), jnp.asarray(obs_y)
+    )
+    U0 = jnp.zeros((B, prob.ocp.horizon, 2))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    hybrid = jax.jit(jax.vmap(make_hybrid_solver(prob.ocp, prob.settings)))
+    plain = jax.jit(jax.vmap(prob.solve))
+    sol_h = hybrid(thetas, U0, keys)
+    sol_p = plain(thetas, U0)
+    conv_h = np.asarray(sol_h.converged)
+    conv_p = np.asarray(sol_p.converged)
+    assert conv_h.sum() >= conv_p.sum()
+    both = conv_h & conv_p
+    assert (np.asarray(sol_h.cost)[both] <= np.asarray(sol_p.cost)[both] + 1e-5).all()
