@@ -86,10 +86,17 @@ def make_bank_solver(
       local scenario tile grid. Per-device batch must be a multiple of
       ``tile_s * tile_l`` (default 8*128 = 1024 on TPU). ``interpret=True``
       (default off-TPU) runs the kernel in interpreter mode.
+    * ``'mppi'`` — the sampling engine (solver/mppi.py): derivative-free
+      path-integral search, vmapped and GSPMD-partitioned like 'vmap'.
+      Per-scenario PRNG keys are derived inside the jit by folding the
+      global scenario index into ``seed`` (an ``engine_opts`` int, default
+      0) — deterministic and shard-layout-independent.
+    * ``'hybrid'`` — MPPI exploration seeding the iLQR polish
+      (solver/mppi.py::make_hybrid_solver); same key derivation.
 
     Extra ``engine_opts`` are forwarded to the engine factory
     (``lanes=`` for 'fast'; ``interpret=``, ``tile_s=``, ``tile_l=`` for
-    'pallas').
+    'pallas'; ``seed=``, ``settings=MppiSettings(...)`` for 'mppi'/'hybrid').
     """
     if axis_names is None:
         axis_names = tuple(mesh.axis_names)
@@ -124,8 +131,44 @@ def make_bank_solver(
             batched = make_pallas_point_stab_solver(
                 problem.ocp, problem.settings, **engine_opts
             )
-    else:
+    elif engine in ("mppi", "hybrid"):
+        from ..solver.mppi import MppiSettings, make_hybrid_solver, make_mppi_solver
+
+        seed = engine_opts.pop("seed", 0)
+        mppi_settings = engine_opts.pop("settings", None)
+        if engine_opts:
+            raise ValueError(
+                f"engine='{engine}' takes seed=/settings=, got {sorted(engine_opts)}"
+            )
+        if engine == "mppi":
+            solve1 = make_mppi_solver(
+                problem.ocp, mppi_settings or MppiSettings()
+            )
+        else:
+            solve1 = make_hybrid_solver(
+                problem.ocp, problem.settings, mppi_settings
+            )
+        key0 = jax.random.PRNGKey(seed)
+
+        def batched(thetas, U0s, _solve=jax.vmap(solve1)):
+            # fold the GLOBAL scenario index into the key: under pjit the
+            # iota is partitioned with the batch, so per-scenario streams
+            # are independent of the mesh layout
+            idx = jnp.arange(U0s.shape[0], dtype=jnp.uint32)
+            keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key0, idx)
+            return _solve(thetas, U0s, keys)
+
+    elif engine == "vmap":
+        if engine_opts:
+            raise ValueError(
+                f"engine='vmap' takes no engine_opts, got {sorted(engine_opts)}"
+            )
         batched = jax.vmap(problem.solve)
+    else:
+        raise ValueError(
+            f"unknown engine {engine!r}; expected "
+            "'vmap' | 'fast' | 'pallas' | 'mppi' | 'hybrid'"
+        )
 
     if engine in ("fast", "pallas") and mesh.size > 1:
         # The scenario axis is embarrassingly parallel: run the engine

@@ -274,3 +274,67 @@ def test_fleet_rollout_pallas_requires_tpu_or_explicit_interpret():
     rollout = make_fleet_rollout(prob, n_ticks=2, dt=PARAMS.dt, engine="pallas")
     with pytest.raises(Exception):
         jax.block_until_ready(rollout(thetas, U0))
+
+
+def test_sharded_mppi_engine():
+    """The sampling engine on the 8-device mesh: per-scenario keys are
+    derived from the GLOBAL scenario index inside the jit, so the sharded
+    result must equal the single-program (unsharded-trace) result exactly,
+    independent of the mesh layout."""
+    from ros2_mpc_tpu.solver.mppi import MppiSettings, make_mppi_solver
+
+    prob = _problem(horizon=6)
+    B = 16
+    thetas, U0 = _bank(prob, B, seed=9)
+    mesh = make_mesh()
+    ms = MppiSettings(n_samples=24, n_iters=4)
+    step = make_bank_solver(prob, mesh, engine="mppi", seed=3, settings=ms)
+    sols, metrics = step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+
+    # reference: the same key derivation, plain vmap, no mesh
+    solve1 = make_mppi_solver(prob.ocp, ms)
+    idx = jnp.arange(B, dtype=jnp.uint32)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(jax.random.PRNGKey(3), idx)
+    ref = jax.jit(jax.vmap(solve1))(thetas, U0, keys)
+
+    np.testing.assert_allclose(np.asarray(sols.U), np.asarray(ref.U), atol=1e-6)
+    assert len(sols.U.sharding.device_set) == 8
+    assert np.isfinite(float(metrics["mean_cost"]))
+    lo, hi = np.asarray(prob.ocp.u_lo), np.asarray(prob.ocp.u_hi)
+    u = np.asarray(sols.U)
+    assert (u >= lo - 1e-6).all() and (u <= hi + 1e-6).all()
+
+
+def test_sharded_hybrid_engine_never_worse_than_vmap():
+    """engine='hybrid' on the mesh: converged count and costs must not lose
+    to the plain local engine (the hybrid keeps the better of the two)."""
+    from ros2_mpc_tpu.solver.mppi import MppiSettings
+
+    prob = _problem(horizon=6)
+    B = 16
+    thetas, U0 = _bank(prob, B, seed=4)
+    mesh = make_mesh()
+    hyb = make_bank_solver(
+        prob, mesh, engine="hybrid", settings=MppiSettings(n_samples=16, n_iters=3)
+    )
+    ref = make_bank_solver(prob, mesh, engine="vmap")
+    sols_h, met_h = hyb(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    sols_v, met_v = ref(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    assert float(met_h["frac_converged"]) >= float(met_v["frac_converged"]) - 1e-6
+    both = np.asarray(sols_h.converged) & np.asarray(sols_v.converged)
+    assert (
+        np.asarray(sols_h.cost)[both] <= np.asarray(sols_v.cost)[both] + 1e-5
+    ).all()
+
+
+def test_bank_solver_rejects_unknown_engine_and_stray_opts():
+    import pytest as _pytest
+
+    prob = _problem(horizon=4)
+    mesh = make_mesh(1)
+    with _pytest.raises(ValueError, match="unknown engine"):
+        make_bank_solver(prob, mesh, engine="sqp")
+    with _pytest.raises(ValueError, match="no engine_opts"):
+        make_bank_solver(prob, mesh, engine="vmap", lanes=8)
+    with _pytest.raises(ValueError, match="seed=/settings="):
+        make_bank_solver(prob, mesh, engine="mppi", lanes=8)
