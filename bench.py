@@ -213,6 +213,34 @@ def main():
         secondary["corrected_obstacle_kkt_lt_1e3_frac"] = round(
             float(jnp.mean((sols_c.kkt_residual < 1e-3).astype(jnp.float32))), 4
         )
+
+        # Hybrid global/local engine (solver/mppi.py) on a 1024-scenario
+        # slice of the same obstacle-active bank: MPPI exploration seeding
+        # the iLQR polish. Reported next to the plain vmap engine on the
+        # identical slice so the convergence uplift (and its throughput
+        # price) is a like-for-like number.
+        from ros2_mpc_tpu.solver.mppi import make_hybrid_solver
+
+        Bh = 1024
+        sub_c = jax.tree_util.tree_map(lambda l: l[:Bh], thetas_c)
+        keys_h = jax.random.split(jax.random.PRNGKey(0), Bh)
+        hyb = jax.jit(jax.vmap(make_hybrid_solver(prob_c.ocp, prob_c.settings)))
+        sols_h = hyb(sub_c, U0[:Bh], keys_h)
+        jax.block_until_ready(sols_h)
+        th = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(hyb(sub_c, U0[:Bh], keys_h))
+            th.append(time.perf_counter() - t0)
+        sols_pv = jax.jit(jax.vmap(prob_c.solve))(sub_c, U0[:Bh])
+        jax.block_until_ready(sols_pv)
+        secondary["hybrid_solves_per_s"] = round(Bh / min(th), 1)
+        secondary["hybrid_converged_frac"] = round(
+            float(jnp.mean(sols_h.converged.astype(jnp.float32))), 4
+        )
+        secondary["hybrid_plain_vmap_converged_frac"] = round(
+            float(jnp.mean(sols_pv.converged.astype(jnp.float32))), 4
+        )
     except Exception as e:  # noqa: BLE001
         print(f"corrected-mode bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 

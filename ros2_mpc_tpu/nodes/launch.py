@@ -89,6 +89,7 @@ def build_sim_stack(
     planner_map_image: Optional[np.ndarray] = None,
     noise: Optional[dict] = None,
     noise_seed: int = 0,
+    follower_kwargs: Optional[dict] = None,
 ) -> SimStack:
     """Assemble the nav-config node graph (launch_all_nav.launch.py) against
     the in-process simulator.
@@ -113,10 +114,15 @@ def build_sim_stack(
     global_planner = GlobalPathPublisherNode(
         bus, params, use_scan_obstacles=not reference_parity
     )
+    fkw = follower_kwargs or {}
     if follower == "tracking":
-        ctrl = PathFollowerNode(bus, params, horizon=horizon, reference_parity=reference_parity)
+        ctrl = PathFollowerNode(
+            bus, params, horizon=horizon, reference_parity=reference_parity, **fkw
+        )
     else:
-        ctrl = PointFollowerNode(bus, params, horizon=horizon, reference_parity=reference_parity)
+        ctrl = PointFollowerNode(
+            bus, params, horizon=horizon, reference_parity=reference_parity, **fkw
+        )
     local_costmap = LocalCostmapNode(bus, params)
     global_costmap = GlobalCostmapNode(bus, params)
     # Prime the bus: all subscribers exist now, so republish the initial

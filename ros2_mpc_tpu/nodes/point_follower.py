@@ -40,7 +40,17 @@ class PointFollowerNode:
         reference_parity: bool = False,
         horizon: int | None = None,
         settings: SolverSettings | None = None,
+        escape_after: int | None = None,
     ):
+        """``escape_after``: opt-in basin-escape recovery. After that many
+        consecutive non-converged warm-started solves, one tick runs the
+        hybrid global/local engine (solver/mppi.py: MPPI exploration seeding
+        the iLQR polish) instead of the plain local solve, and its solution
+        re-seeds the warm start. Targets the local engine's measured failure
+        mode — stalling on the wrong side of an exponential obstacle wall —
+        which the reference cannot recover from at all (a failed IPOPT solve
+        raises and kills the node, local_planner_tracking.py:74). Off by
+        default: the escape tick costs ~an order of magnitude more compute."""
         self.params = params
         self.reference_parity = reference_parity
         self.robot_controller = RobotController(bus)
@@ -60,6 +70,20 @@ class PointFollowerNode:
         # Packed-theta path: one host->device transfer per tick (solver/packed.py).
         solve_packed, self._pack = make_packed_point_stab(self.problem, params)
         self._solve = jax.jit(solve_packed)
+        self.escape_after = escape_after
+        self._stall = 0
+        self.n_escapes = 0
+        if escape_after is not None:
+            from ..solver.mppi import MppiSettings, make_hybrid_solver
+
+            hybrid = make_hybrid_solver(
+                self.problem.ocp,
+                self.problem.settings,
+                MppiSettings(n_samples=128, n_iters=8),
+            )
+            esc_packed, _ = make_packed_point_stab(self.problem, params, solve_fn=hybrid)
+            self._solve_escape = jax.jit(esc_packed)
+            self._escape_key = jax.random.PRNGKey(0)
         self.u_warm = self.problem.default_u0
         self.u_last = np.zeros(2)
         self.goal_flag = False
@@ -99,14 +123,23 @@ class PointFollowerNode:
 
         packed = self._pack(x0, goal_mpc, x_obs, y_obs)
         U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
+        escaping = self.escape_after is not None and self._stall >= self.escape_after
         t0 = time.perf_counter()
-        sol, u_warm_next = self._solve(packed, U0)
+        if escaping:
+            self._escape_key, key = jax.random.split(self._escape_key)
+            sol, u_warm_next = self._solve_escape(packed, U0, key)
+            self.n_escapes += 1
+            self._stall = 0
+        else:
+            sol, u_warm_next = self._solve(packed, U0)
         solve_s = time.perf_counter() - t0
         u = np.asarray(sol.U[0])
         if not np.all(np.isfinite(u)):
             u = self.u_last
         else:
             self.u_warm = u_warm_next  # device-resident, shifted inside the jit
+        if self.escape_after is not None and not escaping:
+            self._stall = 0 if bool(sol.converged) else self._stall + 1
         self.telemetry.record(
             solve_s=solve_s,
             kkt=float(sol.kkt_residual),
@@ -130,6 +163,7 @@ class PointFollowerNode:
             "u": u,
             "carrot": goal_mpc,
             "solve_s": solve_s,
+            "escaped": escaping,
         }
 
 

@@ -26,23 +26,28 @@ from .problems import Problem
 from .warmstart import shift_controls
 
 
-def make_packed_point_stab(problem: Problem, params: Params = Params()):
+def make_packed_point_stab(problem: Problem, params: Params = Params(), solve_fn=None):
     """(solve_packed, pack) for a point-stabilization problem.
 
     ``solve_packed(vec, U0) -> (Solution, U_warm_next)`` is jit-compatible;
     the shift-and-hold warm start for the next tick is produced inside the
     same compiled program, so a live tick is exactly one dispatch. ``pack``
-    is the host-side encoder (pure NumPy, no device work)."""
+    is the host-side encoder (pure NumPy, no device work).
+
+    ``solve_fn`` swaps the engine: any ``f(theta, U0, *extra) -> Solution``
+    on the same OCP (e.g. ``mppi.make_hybrid_solver`` output, which takes a
+    PRNG key as ``extra``) — the packed wrapper forwards ``*extra``."""
     n = params.n_obstacle_points
     const = problem.make_theta(np.zeros(3), np.zeros(3))
+    solve = solve_fn if solve_fn is not None else problem.solve
 
-    def solve_packed(vec, U0):
+    def solve_packed(vec, U0, *extra):
         theta = dict(const)
         theta["x0"] = vec[0:3]
         theta["goal"] = vec[3:6]
         theta["obs_x"] = vec[6 : 6 + n]
         theta["obs_y"] = vec[6 + n : 6 + 2 * n]
-        sol = problem.solve(theta, U0)
+        sol = solve(theta, U0, *extra)
         return sol, shift_controls(sol.U)
 
     def pack(x0, goal, obs_x, obs_y) -> np.ndarray:

@@ -109,3 +109,56 @@ def test_hybrid_never_worse_and_lifts_convergence():
     assert conv_h.sum() >= conv_p.sum()
     both = conv_h & conv_p
     assert (np.asarray(sol_h.cost)[both] <= np.asarray(sol_p.cost)[both] + 1e-5).all()
+
+
+def test_packed_hybrid_matches_direct():
+    """The packed-theta wrapper forwards the PRNG key and reproduces the
+    direct hybrid solve exactly (same theta, same key)."""
+    from ros2_mpc_tpu.solver.packed import make_packed_point_stab
+
+    prob = _point_stab(horizon=10)
+    hybrid = make_hybrid_solver(prob.ocp, prob.settings, MppiSettings(n_samples=32, n_iters=4))
+    solve_pk, pack = make_packed_point_stab(prob, PARAMS, solve_fn=hybrid)
+    n = PARAMS.n_obstacle_points
+    x0 = np.array([0.1, -0.1, 0.3])
+    goal = np.array([0.8, 0.4, 0.0])
+    obs = np.full(n, 100.0)
+    key = jax.random.PRNGKey(5)
+    sol_pk, u_next = jax.jit(solve_pk)(pack(x0, goal, obs, obs), prob.default_u0, key)
+    theta = prob.make_theta(jnp.asarray(x0, jnp.float32), jnp.asarray(goal, jnp.float32),
+                            jnp.asarray(obs, jnp.float32), jnp.asarray(obs, jnp.float32))
+    sol_d = jax.jit(hybrid)(theta, prob.default_u0, key)
+    np.testing.assert_allclose(np.asarray(sol_pk.U), np.asarray(sol_d.U), atol=1e-6)
+    # warm start is the shifted solution, produced inside the same jit
+    np.testing.assert_allclose(np.asarray(u_next[:-1]), np.asarray(sol_d.U[1:]), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_point_follower_escape_recovery():
+    """escape_after wiring: a (forced) stall triggers exactly one hybrid
+    escape tick, the command stays finite, and the robot still reaches the
+    goal afterwards."""
+    from ros2_mpc_tpu.nodes.launch import build_sim_stack
+
+    stack = build_sim_stack(
+        follower="point", start_pose=(-1.0, -1.0, 0.0), horizon=12,
+        follower_kwargs=dict(escape_after=3),
+    )
+    node = stack.follower
+    stack.publish_goal(0.4, -1.6)
+    stack.global_planner.tick()
+    out = stack.tick()
+    assert out["control"].get("escaped") is False
+    node._stall = 99  # force the stall detector past the threshold
+    out = stack.tick()
+    assert out["control"]["escaped"] is True
+    assert node.n_escapes == 1
+    assert np.all(np.isfinite(out["control"]["u"]))
+    assert node._stall in (0, 1)  # reset by the escape (+1 if it missed tol)
+    reached = False
+    for _ in range(250):
+        o = stack.tick()
+        if o["control"].get("status") == "goal_reached":
+            reached = True
+            break
+    assert reached
