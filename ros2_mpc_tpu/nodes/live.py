@@ -195,6 +195,7 @@ def build_live_stack(
     global_costmap: bool = True,
     viz_dir: Optional[str] = None,
     viz_period: float = 1.0,
+    follower_kwargs: Optional[dict] = None,
 ) -> LiveStack:
     """Assemble the live-config node graph (launch_all.launch.py:8-64:
     follower + global path publisher + robot state publisher + both costmap
@@ -237,10 +238,11 @@ def build_live_stack(
     planner = GlobalPathPublisherNode(bus, params)
     tasks.append(Task("replan", params.path_refresh_period, planner.tick))
 
+    fkw = follower_kwargs or {}
     if follower == "tracking":
-        ctrl = PathFollowerNode(bus, params, horizon=horizon)
+        ctrl = PathFollowerNode(bus, params, horizon=horizon, **fkw)
     else:
-        ctrl = PointFollowerNode(bus, params, horizon=horizon)
+        ctrl = PointFollowerNode(bus, params, horizon=horizon, **fkw)
 
     local_costmap = LocalCostmapNode(bus, params)
     tasks.append(Task("local_costmap", params.local_costmap_period, local_costmap.tick))
@@ -356,11 +358,20 @@ def run_live(
     goal=(1.0, -1.0),
     source: str = "sim",
     viz_dir: Optional[str] = None,
+    escape_after: Optional[int] = None,
 ) -> dict:
     """Console entry: run the live graph until the goal latches or the time
     budget expires; log per-task rate/deadline stats."""
     logging.basicConfig(level=logging.INFO)
-    stack = build_live_stack(follower=follower, source=source, horizon=20, viz_dir=viz_dir)
+    fkw = {}
+    if escape_after is not None:
+        if follower != "point":
+            raise SystemExit("--escape-after requires --follower point")
+        fkw["escape_after"] = escape_after
+    stack = build_live_stack(
+        follower=follower, source=source, horizon=20, viz_dir=viz_dir,
+        follower_kwargs=fkw,
+    )
     stack.publish_goal(goal[0], goal[1])
     stats = stack.run(duration)
     for name, s in stats["tasks"].items():
@@ -389,8 +400,16 @@ def main():
         "--viz", default=None, metavar="DIR",
         help="render the running stack to DIR/latest.png at 1 Hz (RViz surrogate)",
     )
+    ap.add_argument(
+        "--escape-after", type=int, default=None, metavar="K",
+        help="point follower only: after K consecutive non-converged solves "
+             "run one hybrid MPPI->iLQR basin-escape tick (solver/mppi.py)",
+    )
     args = ap.parse_args()
-    stats = run_live(args.follower, args.duration, tuple(args.goal), args.source, args.viz)
+    stats = run_live(
+        args.follower, args.duration, tuple(args.goal), args.source, args.viz,
+        escape_after=args.escape_after,
+    )
     raise SystemExit(0 if stats["goal_reached"] else 1)
 
 
