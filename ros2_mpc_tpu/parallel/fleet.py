@@ -44,10 +44,12 @@ def _make_batched_solve(problem, engine: str, interpret_default=False, **engine_
     (the sharded CPU-mesh path wants that; the plain rollout must *fail*
     off-TPU so callers like solver.packed.device_tick_rate can fall back to
     the vmap engine instead of an interpreter-speed kernel)."""
-    if getattr(problem, "kind", "point_stabilization") == "tracking":
+    kind = getattr(problem, "kind", "point_stabilization")
+    if kind not in ("point_stabilization", "legacy"):
         raise ValueError(
-            "fleet rollouts are point-stabilization only (the goal field "
-            "drives each robot); got a tracking problem"
+            "fleet rollouts are unicycle point-stabilization only (the goal "
+            "field drives each robot and the plant integrates the reference "
+            f"unicycle); got a {kind!r} problem"
         )
     if engine == "fast":
         from ..solver.batched import make_bank_solver_fast

@@ -104,6 +104,15 @@ def make_bank_solver(
     shard = NamedSharding(mesh, batch_spec)
     replicate = NamedSharding(mesh, P())
 
+    kind = getattr(problem, "kind", "point_stabilization")
+    if engine in ("fast", "pallas") and kind not in (
+        "point_stabilization", "tracking", "legacy",
+    ):
+        raise ValueError(
+            f"engine='{engine}' hard-codes the reference unicycle structure; "
+            f"problem kind {kind!r} (model-generic family) needs "
+            "engine='vmap' | 'mppi' | 'hybrid'"
+        )
     if engine == "fast":
         from ..solver.batched import make_bank_solver_fast
 

@@ -6,6 +6,10 @@ from .problems import (
     make_point_stabilization,
     make_tracking,
 )
+from .problems_ext import (
+    make_bicycle_point_stabilization,
+    make_smooth_point_stabilization,
+)
 from .warmstart import shift_controls
 
 __all__ = [
@@ -21,4 +25,6 @@ __all__ = [
     "MppiSettings",
     "make_mppi_solver",
     "make_hybrid_solver",
+    "make_bicycle_point_stabilization",
+    "make_smooth_point_stabilization",
 ]

@@ -1,0 +1,201 @@
+"""Beyond-reference problem families on the same solver core.
+
+The reference hard-wires one platform (differential-drive unicycle) into
+three near-duplicate CasADi classes; adding a vehicle there means writing a
+fourth symbolic ``Mpc`` class from scratch. Here the solver is generic over
+the :class:`~.ilqr.OCP` template — any ``transition``/``stage_cost`` with
+any (n_states, n_controls) — so new model families are a page of pure
+functions. Two are shipped as proof and as useful capabilities:
+
+* :func:`make_bicycle_point_stabilization` — kinematic bicycle (Ackermann /
+  car-like, ``models/bicycle.py``): drive-to-pose with steering-angle
+  bounds and active Gaussian obstacle costs.
+* :func:`make_smooth_point_stabilization` — smooth-actuation unicycle
+  (``models/unicycle_dyn.py``): accelerations are the controls, so command
+  rate limiting is optimized in the OCP instead of clamped on the host
+  (the reference's quirk-#6 slew hack).
+
+Both return the standard :class:`~.problems.Problem`, so ``jax.vmap``
+scenario banks, ``parallel.mesh.make_bank_solver(engine='vmap'|'mppi'|
+'hybrid')`` mesh sharding, and the MPPI/hybrid engines compose unchanged.
+The lane-aligned and Pallas engines hard-code the reference unicycle
+structure and reject these kinds loudly (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..config import Params
+from ..models import bicycle, unicycle_dyn
+from ..ops import costs
+from ..ops.integrators import make_step
+from .ilqr import OCP, SolverSettings, make_solver
+from .problems import Problem, _no_obstacles
+
+
+def make_bicycle_point_stabilization(
+    params: Params = Params(),
+    *,
+    wheelbase: float = 0.3,
+    v_bounds: tuple = (-0.1, 0.3),
+    steer_max: float = 0.45,
+    horizon: Optional[int] = None,
+    settings: Optional[SolverSettings] = None,
+) -> Problem:
+    """Drive-to-pose NMPC for a car-like robot (kinematic bicycle).
+
+    theta keys: ``x0`` (3,), ``goal`` (3,), ``obs_x``/``obs_y`` (n_obs,),
+    ``Q`` (3,), ``R`` (2,), ``obstacle_gain``, ``inflation_radius``,
+    ``obstacle_weight`` (active by default — this is a corrected-mode-only
+    family; there is no reference quirk to preserve).
+    """
+    N = horizon if horizon is not None else params.N
+    F = make_step(bicycle.make_f(wheelbase), "rk4", params.dt)
+
+    def stage_cost(x, u, k, theta):
+        e = x - theta["goal"]
+        return (
+            costs.quadratic_error(e, theta["Q"])
+            + costs.quadratic_error(u, theta["R"])
+            + theta["obstacle_weight"]
+            * costs.gaussian_obstacle_cost(
+                x[:2], theta["obs_x"], theta["obs_y"],
+                theta["inflation_radius"], theta["obstacle_gain"],
+            )
+        )
+
+    def terminal_cost(x, theta):
+        return 0.0
+
+    ocp = OCP(
+        transition=F,
+        stage_cost=stage_cost,
+        terminal_cost=terminal_cost,
+        horizon=N,
+        n_states=bicycle.N_STATES,
+        n_controls=bicycle.N_CONTROLS,
+        u_lo=(v_bounds[0], -steer_max),
+        u_hi=(v_bounds[1], steer_max),
+    )
+    settings = settings or SolverSettings()
+
+    def make_theta(x0, goal, obs_x=None, obs_y=None):
+        if obs_x is None or obs_y is None:
+            obs_x, obs_y = _no_obstacles(params)
+        return {
+            "x0": jnp.asarray(x0, dtype=float),
+            "goal": jnp.asarray(goal, dtype=float),
+            "obs_x": jnp.asarray(obs_x, dtype=float),
+            "obs_y": jnp.asarray(obs_y, dtype=float),
+            "Q": jnp.asarray(params.Q, dtype=float),
+            "R": jnp.asarray([0.5, 0.5], dtype=float),
+            "obstacle_gain": jnp.asarray(params.reverse_factor, dtype=float),
+            "inflation_radius": jnp.asarray(params.inflation_radius, dtype=float),
+            "obstacle_weight": jnp.asarray(1.0),
+        }
+
+    return Problem(
+        solve=make_solver(ocp, settings),
+        make_theta=make_theta,
+        default_u0=jnp.zeros((N, 2)),
+        ocp=ocp,
+        settings=settings,
+        kind="bicycle",
+    )
+
+
+def make_smooth_point_stabilization(
+    params: Params = Params(),
+    *,
+    a_bounds: tuple = (-0.3, 0.3),
+    alpha_bounds: tuple = (-1.0, 1.0),
+    v_limit: float = 0.2,
+    w_limit: float = 0.5,
+    horizon: Optional[int] = None,
+    settings: Optional[SolverSettings] = None,
+) -> Problem:
+    """Drive-to-pose NMPC with actuator dynamics in the OCP.
+
+    State ``(x, y, theta, v, w)``; controls are accelerations, box-bounded by
+    the interior point. Velocity magnitudes are kept under
+    ``v_limit``/``w_limit`` by a smooth quadratic hinge (soft constraint —
+    velocities are states here, and the solver's hard bounds apply to
+    controls). The terminal cost parks the platform: pose error plus
+    velocity magnitude must both pay.
+
+    theta keys: ``x0`` (5,), ``goal`` (3,), obstacle vectors, ``Q`` (3,),
+    ``R`` (2,), ``damp`` (2,), ``vel_limit_weight``, ``terminal_weight``,
+    ``obstacle_gain``, ``inflation_radius``, ``obstacle_weight``.
+    """
+    N = horizon if horizon is not None else params.N
+    F = make_step(unicycle_dyn.f, "rk4", params.dt)
+    vw_lim = jnp.asarray([v_limit, w_limit])
+
+    def _vel_hinge(x, theta):
+        # smooth one-sided quadratic: zero inside the limit, (|v|-lim)^2 out
+        over = jnp.maximum(jnp.abs(x[3:5]) - vw_lim, 0.0)
+        return theta["vel_limit_weight"] * jnp.sum(over * over)
+
+    def stage_cost(x, u, k, theta):
+        e = x[:3] - theta["goal"]
+        return (
+            costs.quadratic_error(e, theta["Q"])
+            + costs.quadratic_error(x[3:5], theta["damp"])
+            + costs.quadratic_error(u, theta["R"])
+            + _vel_hinge(x, theta)
+            + theta["obstacle_weight"]
+            * costs.gaussian_obstacle_cost(
+                x[:2], theta["obs_x"], theta["obs_y"],
+                theta["inflation_radius"], theta["obstacle_gain"],
+            )
+        )
+
+    def terminal_cost(x, theta):
+        e = x[:3] - theta["goal"]
+        return theta["terminal_weight"] * (
+            costs.quadratic_error(e, theta["Q"])
+            + jnp.sum(x[3:5] * x[3:5])
+        )
+
+    ocp = OCP(
+        transition=F,
+        stage_cost=stage_cost,
+        terminal_cost=terminal_cost,
+        horizon=N,
+        n_states=unicycle_dyn.N_STATES,
+        n_controls=unicycle_dyn.N_CONTROLS,
+        u_lo=(a_bounds[0], alpha_bounds[0]),
+        u_hi=(a_bounds[1], alpha_bounds[1]),
+    )
+    settings = settings or SolverSettings()
+
+    def make_theta(x0, goal, obs_x=None, obs_y=None):
+        if obs_x is None or obs_y is None:
+            obs_x, obs_y = _no_obstacles(params)
+        return {
+            "x0": jnp.asarray(x0, dtype=float),
+            "goal": jnp.asarray(goal, dtype=float),
+            "obs_x": jnp.asarray(obs_x, dtype=float),
+            "obs_y": jnp.asarray(obs_y, dtype=float),
+            "Q": jnp.asarray(params.Q, dtype=float),
+            "R": jnp.asarray([0.5, 0.5], dtype=float),
+            "damp": jnp.asarray([0.05, 0.05], dtype=float),
+            "vel_limit_weight": jnp.asarray(50.0),
+            "terminal_weight": jnp.asarray(10.0),
+            "obstacle_gain": jnp.asarray(params.reverse_factor, dtype=float),
+            "inflation_radius": jnp.asarray(params.inflation_radius, dtype=float),
+            "obstacle_weight": jnp.asarray(1.0),
+        }
+
+    return Problem(
+        solve=make_solver(ocp, settings),
+        make_theta=make_theta,
+        default_u0=jnp.zeros((N, 2)),
+        ocp=ocp,
+        settings=settings,
+        kind="smooth",
+        tags=("terminal_cost",),
+    )

@@ -1,0 +1,129 @@
+"""Beyond-reference model families (solver/problems_ext.py): the solver core
+is generic over the OCP template, so a kinematic bicycle and a
+smooth-actuation unicycle drop in without touching the engines. Dynamics are
+pinned against analytic closed forms; solves against KKT optimality and
+goal-reaching rollouts; the unicycle-specialized engines must reject these
+kinds loudly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ros2_mpc_tpu.config import Params
+from ros2_mpc_tpu.models import bicycle, unicycle_dyn
+from ros2_mpc_tpu.ops.integrators import make_step, rollout
+from ros2_mpc_tpu.solver import (
+    make_bicycle_point_stabilization,
+    make_smooth_point_stabilization,
+)
+
+PARAMS = Params()
+
+
+def test_bicycle_constant_steer_is_circular_arc():
+    """Constant (v, delta) must trace a circle of radius L / tan(delta)."""
+    L, v, delta, dt = 0.3, 0.2, 0.3, 0.01
+    F = make_step(bicycle.make_f(L), "rk4", dt)
+    T = 500
+    X = rollout(F, jnp.zeros(3), jnp.tile(jnp.array([v, delta]), (T, 1)))
+    R = L / np.tan(delta)
+    # the arc's center is at (0, R); every state must stay on the circle
+    d = np.hypot(np.asarray(X[:, 0]), np.asarray(X[:, 1]) - R)
+    np.testing.assert_allclose(d, R, rtol=1e-5)
+    # heading advances at v/R rad/s
+    np.testing.assert_allclose(float(X[-1, 2]), v / R * T * dt, rtol=1e-5)
+
+
+def test_smooth_unicycle_constant_accel_closed_form():
+    """From rest on a straight line: v = a t, x = a t^2 / 2."""
+    a, dt, T = 0.25, 0.01, 400
+    F = make_step(unicycle_dyn.f, "rk4", dt)
+    X = rollout(F, jnp.zeros(5), jnp.tile(jnp.array([a, 0.0]), (T, 1)))
+    t = T * dt
+    np.testing.assert_allclose(float(X[-1, 3]), a * t, rtol=1e-6)
+    np.testing.assert_allclose(float(X[-1, 0]), 0.5 * a * t * t, rtol=1e-4)
+    assert abs(float(X[-1, 1])) < 1e-9 and abs(float(X[-1, 2])) < 1e-9
+
+
+def test_bicycle_point_stab_reaches_goal():
+    prob = make_bicycle_point_stabilization(PARAMS, horizon=30)
+    theta = prob.make_theta(jnp.zeros(3), jnp.array([0.8, 0.3, 0.3]))
+    sol = jax.jit(prob.solve)(theta, prob.default_u0)
+    assert bool(sol.converged), f"kkt={float(sol.kkt_residual):.2e}"
+    # steering stays inside its box
+    u = np.asarray(sol.U)
+    assert (np.abs(u[:, 1]) <= 0.45 + 1e-6).all()
+    assert float(jnp.linalg.norm(sol.X[-1, :2] - theta["goal"][:2])) < 0.15
+
+
+def test_bicycle_avoids_obstacle():
+    prob = make_bicycle_point_stabilization(PARAMS, horizon=30)
+    n = PARAMS.n_obstacle_points
+    obs_x = np.full(n, 100.0)
+    obs_y = np.full(n, 100.0)
+    obs_x[0], obs_y[0] = 0.4, 0.0  # on the straight line to the goal
+    theta = prob.make_theta(jnp.zeros(3), jnp.array([0.8, 0.0, 0.0]),
+                            jnp.asarray(obs_x), jnp.asarray(obs_y))
+    sol = jax.jit(prob.solve)(theta, prob.default_u0)
+    clear = np.min(np.hypot(np.asarray(sol.X[:, 0]) - 0.4, np.asarray(sol.X[:, 1])))
+    assert clear > 0.1, f"trajectory passes {clear:.3f} m from the obstacle"
+
+
+def test_smooth_point_stab_parks_with_bounded_accel():
+    prob = make_smooth_point_stabilization(PARAMS, horizon=40)
+    x0 = jnp.zeros(5)
+    theta = prob.make_theta(x0, jnp.array([0.6, 0.2, 0.0]))
+    sol = jax.jit(prob.solve)(theta, prob.default_u0)
+    assert bool(sol.converged), f"kkt={float(sol.kkt_residual):.2e}"
+    X, U = np.asarray(sol.X), np.asarray(sol.U)
+    # parks: terminal pose near goal AND terminal velocities near zero
+    assert np.linalg.norm(X[-1, :2] - [0.6, 0.2]) < 0.1
+    assert np.abs(X[-1, 3:5]).max() < 0.05
+    # accelerations respect the box
+    assert (U[:, 0] >= -0.3 - 1e-6).all() and (U[:, 0] <= 0.3 + 1e-6).all()
+    # intrinsic rate limiting: consecutive velocities differ by <= a_max*dt
+    dv = np.abs(np.diff(X[:, 3]))
+    assert dv.max() <= 0.3 * PARAMS.dt + 1e-6
+    # soft velocity limit holds (up to hinge softness)
+    assert np.abs(X[:, 3]).max() < 0.2 + 0.02
+
+
+def test_smooth_model_composes_with_mppi_and_hybrid():
+    """The second solver family is model-generic too."""
+    from ros2_mpc_tpu.solver import MppiSettings, make_hybrid_solver
+
+    prob = make_smooth_point_stabilization(PARAMS, horizon=16)
+    theta = prob.make_theta(jnp.zeros(5), jnp.array([0.4, -0.2, 0.0]))
+    hyb = jax.jit(make_hybrid_solver(prob.ocp, prob.settings,
+                                     MppiSettings(n_samples=32, n_iters=4)))
+    sol_h = hyb(theta, prob.default_u0, jax.random.PRNGKey(0))
+    sol_p = jax.jit(prob.solve)(theta, prob.default_u0)
+    assert float(sol_h.cost) <= float(sol_p.cost) + 1e-5
+
+
+def test_new_kinds_shard_with_vmap_engine_and_reject_specialized():
+    from ros2_mpc_tpu.parallel import make_bank_solver, make_mesh, shard_bank
+
+    prob = make_bicycle_point_stabilization(PARAMS, horizon=8)
+    rng = np.random.default_rng(0)
+    B = 16
+    thetas = jax.vmap(prob.make_theta)(
+        jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 3))),
+        jnp.asarray(rng.uniform(-1.0, 1.0, size=(B, 3))),
+    )
+    U0 = jnp.zeros((B,) + prob.default_u0.shape)
+    mesh = make_mesh()
+    step = make_bank_solver(prob, mesh, engine="vmap")
+    sols, metrics = step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    assert len(sols.U.sharding.device_set) == 8
+    assert np.isfinite(float(metrics["mean_cost"]))
+
+    for engine in ("fast", "pallas"):
+        with pytest.raises(ValueError, match="unicycle structure"):
+            make_bank_solver(prob, mesh, engine=engine)
+
+    from ros2_mpc_tpu.parallel.fleet import make_fleet_rollout
+
+    with pytest.raises(ValueError, match="unicycle point-stabilization"):
+        make_fleet_rollout(prob, n_ticks=2, dt=PARAMS.dt)
