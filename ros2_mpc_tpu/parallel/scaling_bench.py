@@ -9,8 +9,8 @@ silicon scaling. The workload is embarrassingly parallel across scenarios, so
 the measured inefficiency isolates partitioning overhead + the collective
 telemetry reductions (scalar latency-bound all-reduces over ICI/DCN).
 
-``main()`` runs every engine ('vmap', 'fast', 'pallas') and persists the
-results as a JSON artifact (default ``SCALING.json`` at the repo root) so
+``main()`` runs every engine ('vmap', 'fast', 'pallas', 'mppi') and persists
+the results as a JSON artifact (default ``SCALING.json`` at the repo root) so
 each round's numbers are comparable across hardware.
 """
 
@@ -102,10 +102,16 @@ def run_all_engines(per_device_batch: int = 512, horizon: int = 20, reps: int = 
     tile_s = max(1, min(8, per_device_batch // tile_l))
     while per_device_batch % (tile_s * tile_l) != 0:
         tile_s -= 1
+    from ..solver.mppi import MppiSettings
+
     engines = {
         "vmap": {},
         "fast": {"lanes": lanes},
         "pallas": {"tile_s": tile_s, "tile_l": tile_l},
+        # sampling family, short schedule: the point is the partitioning
+        # overhead of an embarrassingly parallel rollout workload, not the
+        # exploration quality
+        "mppi": {"settings": MppiSettings(n_samples=32, n_iters=4)},
     }
     n_dev = len(jax.devices())
     on_cpu = jax.default_backend() == "cpu"

@@ -50,12 +50,12 @@ def test_scaling_bench_harness():
 
 
 def test_scaling_bench_all_engines(tmp_path):
-    """All three engines run through the harness; artifact schema stable."""
+    """All engines run through the harness; artifact schema stable."""
     import json
 
     out = scaling_bench.run_all_engines(per_device_batch=8, horizon=5, reps=1)
     engines = {r["engine"] for r in out["results"]}
-    assert engines == {"vmap", "fast", "pallas"}
+    assert engines == {"vmap", "fast", "pallas", "mppi"}
     assert 0.0 < out["contention_ceiling"] <= 1.0
     for r in out["results"]:
         assert r["solves_per_s_ndev"] > 0, r
