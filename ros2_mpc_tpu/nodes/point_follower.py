@@ -44,13 +44,15 @@ class PointFollowerNode:
     ):
         """``escape_after``: opt-in basin-escape recovery. After that many
         consecutive non-converged warm-started solves, one tick runs the
-        hybrid global/local engine (solver/mppi.py: MPPI exploration seeding
-        the iLQR polish) instead of the plain local solve, and its solution
-        re-seeds the warm start. Targets the local engine's measured failure
-        mode — stalling on the wrong side of an exponential obstacle wall —
-        which the reference cannot recover from at all (a failed IPOPT solve
-        raises and kills the node, local_planner_tracking.py:74). Off by
-        default: the escape tick costs ~an order of magnitude more compute."""
+        multi-start global/local engine (solver/mppi.py: one batched iLQR
+        polish over the warm start, the MPPI elite, and deterministic arc
+        seeds) instead of the plain local solve, and its solution re-seeds
+        the warm start. Targets the local engine's measured failure mode —
+        stalling on the wrong side of an exponential obstacle wall (incl.
+        the symmetric saddle sampling alone cannot break) — which the
+        reference cannot recover from at all (a failed IPOPT solve raises
+        and kills the node, local_planner_tracking.py:74). Off by default:
+        the escape tick costs ~an order of magnitude more compute."""
         self.params = params
         self.reference_parity = reference_parity
         self.robot_controller = RobotController(bus)
@@ -74,14 +76,16 @@ class PointFollowerNode:
         self._stall = 0
         self.n_escapes = 0
         if escape_after is not None:
-            from ..solver.mppi import MppiSettings, make_hybrid_solver
+            from ..solver.mppi import MppiSettings, make_multistart_solver
 
-            hybrid = make_hybrid_solver(
+            escape_solver = make_multistart_solver(
                 self.problem.ocp,
                 self.problem.settings,
                 MppiSettings(n_samples=128, n_iters=8),
             )
-            esc_packed, _ = make_packed_point_stab(self.problem, params, solve_fn=hybrid)
+            esc_packed, _ = make_packed_point_stab(
+                self.problem, params, solve_fn=escape_solver
+            )
             self._solve_escape = jax.jit(esc_packed)
             self._escape_key = jax.random.PRNGKey(0)
         self.u_warm = self.problem.default_u0

@@ -93,6 +93,10 @@ def make_bank_solver(
       0) — deterministic and shard-layout-independent.
     * ``'hybrid'`` — MPPI exploration seeding the iLQR polish
       (solver/mppi.py::make_hybrid_solver); same key derivation.
+    * ``'multistart'`` — one batched iLQR polish over {warm start, MPPI
+      elite, deterministic arc seeds}, best-of by (converged, cost)
+      (solver/mppi.py::make_multistart_solver); breaks symmetric saddles
+      sampling alone cannot.
 
     Extra ``engine_opts`` are forwarded to the engine factory
     (``lanes=`` for 'fast'; ``interpret=``, ``tile_s=``, ``tile_l=`` for
@@ -111,7 +115,7 @@ def make_bank_solver(
         raise ValueError(
             f"engine='{engine}' hard-codes the reference unicycle structure; "
             f"problem kind {kind!r} (model-generic family) needs "
-            "engine='vmap' | 'mppi' | 'hybrid'"
+            "engine='vmap' | 'mppi' | 'hybrid' | 'multistart'"
         )
     if engine == "fast":
         from ..solver.batched import make_bank_solver_fast
@@ -140,8 +144,13 @@ def make_bank_solver(
             batched = make_pallas_point_stab_solver(
                 problem.ocp, problem.settings, **engine_opts
             )
-    elif engine in ("mppi", "hybrid"):
-        from ..solver.mppi import MppiSettings, make_hybrid_solver, make_mppi_solver
+    elif engine in ("mppi", "hybrid", "multistart"):
+        from ..solver.mppi import (
+            MppiSettings,
+            make_hybrid_solver,
+            make_mppi_solver,
+            make_multistart_solver,
+        )
 
         seed = engine_opts.pop("seed", 0)
         mppi_settings = engine_opts.pop("settings", None)
@@ -152,6 +161,10 @@ def make_bank_solver(
         if engine == "mppi":
             solve1 = make_mppi_solver(
                 problem.ocp, mppi_settings or MppiSettings()
+            )
+        elif engine == "multistart":
+            solve1 = make_multistart_solver(
+                problem.ocp, problem.settings, mppi_settings
             )
         else:
             solve1 = make_hybrid_solver(
@@ -176,7 +189,7 @@ def make_bank_solver(
     else:
         raise ValueError(
             f"unknown engine {engine!r}; expected "
-            "'vmap' | 'fast' | 'pallas' | 'mppi' | 'hybrid'"
+            "'vmap' | 'fast' | 'pallas' | 'mppi' | 'hybrid' | 'multistart'"
         )
 
     if engine in ("fast", "pallas") and mesh.size > 1:

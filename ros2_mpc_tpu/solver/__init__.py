@@ -1,5 +1,10 @@
 from .ilqr import OCP, Solution, SolverSettings, make_solver
-from .mppi import MppiSettings, make_hybrid_solver, make_mppi_solver
+from .mppi import (
+    MppiSettings,
+    make_hybrid_solver,
+    make_mppi_solver,
+    make_multistart_solver,
+)
 from .problems import (
     Problem,
     make_legacy_point_stabilization,
@@ -25,6 +30,7 @@ __all__ = [
     "MppiSettings",
     "make_mppi_solver",
     "make_hybrid_solver",
+    "make_multistart_solver",
     "make_bicycle_point_stabilization",
     "make_smooth_point_stabilization",
 ]

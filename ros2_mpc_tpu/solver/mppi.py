@@ -150,6 +150,80 @@ def make_mppi_solver(ocp: OCP, settings: MppiSettings = MppiSettings()):
     return solve
 
 
+def make_multistart_solver(
+    ocp: OCP,
+    ilqr_settings: SolverSettings = SolverSettings(),
+    mppi_settings: MppiSettings | None = None,
+    swing_fracs: tuple = (1.0, 0.5),
+    include_mppi: bool = True,
+):
+    """Multi-start global/local solve: one batched iLQR polish over
+    {the caller's warm start, the MPPI elite, deterministic arc seeds},
+    best-of by (converged, cost). ``solve(theta, U0, key) -> Solution``.
+
+    Rationale: sampling alone cannot bridge every nonconvexity — on a
+    symmetric saddle (an obstacle dead-center on the start-goal line) the
+    cost gradient cannot break the tie and MPPI's exploration variance is
+    far smaller than the goal distance, so both the plain iLQR and the
+    MPPI-seeded hybrid hover behind the obstacle. Deterministic bang-bang
+    arc seeds (drive channel at 0.75 of its upper bound, swing channel
+    +/- for the first quarter of the horizon, reversed for the second)
+    break the symmetry structurally; the Newton polish does the rest
+    (tools/demo_escape.py: 28% lower cost on the saddle scenario, goal
+    reached vs hovered). Seeds are built from the control box alone, so the
+    construction applies to any 2+-control platform (unicycle (v, w),
+    bicycle (v, delta), smooth unicycle (a, alpha)).
+
+    All starts polish under one ``vmap``-batched iLQR call — on TPU the
+    K+2 starts ride the same lanes a scenario bank would, so wall-clock is
+    roughly ONE solve, not K+2.
+    """
+    ilqr = make_solver(ocp, ilqr_settings)
+    mppi = (
+        make_mppi_solver(ocp, mppi_settings or MppiSettings(n_samples=128, n_iters=8))
+        if include_mppi
+        else None
+    )
+    N, m = ocp.horizon, ocp.n_controls
+    if m < 2:
+        raise ValueError("arc seeds need a drive and a swing channel (n_controls >= 2)")
+    u_lo = jnp.asarray(ocp.u_lo)
+    u_hi = jnp.asarray(ocp.u_hi)
+    seeds = []
+    fwd = 0.75 * u_hi[0]
+    q = max(1, N // 4)
+    for frac in swing_fracs:
+        for sgn in (1.0, -1.0):
+            U = jnp.zeros((N, m)).at[:, 0].set(fwd)
+            U = U.at[:q, -1].set(sgn * frac * u_hi[-1])
+            U = U.at[q : 2 * q, -1].set(sgn * frac * u_lo[-1])
+            seeds.append(jnp.clip(U, u_lo, u_hi))
+    ARC_SEEDS = jnp.stack(seeds)  # (K, N, m)
+
+    def solve(theta, U0, key):
+        starts = [jnp.clip(jnp.asarray(U0, jnp.result_type(float)), u_lo, u_hi)]
+        n_extra = jnp.zeros((), jnp.int32)
+        if mppi is not None:
+            sol_m = mppi(theta, starts[0], key)
+            starts.append(sol_m.U)
+            n_extra = sol_m.n_iters
+        cands = jnp.concatenate([jnp.stack(starts), ARC_SEEDS], axis=0)
+        sols = jax.vmap(ilqr, in_axes=(None, 0))(theta, cands)
+        rank = (1.0 - sols.converged.astype(jnp.float32)) * 1e30 + sols.cost
+        i = jnp.argmin(rank)
+        return Solution(
+            U=sols.U[i],
+            X=sols.X[i],
+            cost=sols.cost[i],
+            kkt_residual=sols.kkt_residual[i],
+            converged=sols.converged[i],
+            n_iters=jnp.asarray(ilqr_settings.total_iters, jnp.int32) + n_extra,
+            reg=sols.reg[i],
+        )
+
+    return solve
+
+
 def make_hybrid_solver(
     ocp: OCP,
     ilqr_settings: SolverSettings = SolverSettings(),

@@ -162,3 +162,73 @@ def test_point_follower_escape_recovery():
             reached = True
             break
     assert reached
+
+
+def test_multistart_breaks_symmetric_saddle():
+    """Obstacle dead-center on the start-goal line: the gradient cannot
+    break the y-symmetry, so the plain iLQR hovers; sampling alone cannot
+    bridge the distance either. The multi-start engine's arc seeds must
+    find the detour basin and beat the plain solve decisively."""
+    from ros2_mpc_tpu.solver import make_multistart_solver
+
+    prob = _point_stab(horizon=40)
+    n = PARAMS.n_obstacle_points
+    obs_x = np.full(n, 100.0)
+    obs_y = np.full(n, 100.0)
+    obs_x[0], obs_y[0] = 0.5, 0.0
+    theta = prob.make_theta(
+        jnp.zeros(3), jnp.array([1.0, 0.0, 0.0]),
+        jnp.asarray(obs_x), jnp.asarray(obs_y),
+    )
+    theta = dict(theta)
+    theta["Q"] = jnp.array([5.0, 5.0, 0.05])  # make reaching pay
+
+    sol_p = jax.jit(prob.solve)(theta, prob.default_u0)
+    ms = jax.jit(make_multistart_solver(
+        prob.ocp, prob.settings, MppiSettings(n_samples=64, n_iters=6)
+    ))
+    sol_m = ms(theta, prob.default_u0, jax.random.PRNGKey(0))
+
+    X_p, X_m = np.asarray(sol_p.X), np.asarray(sol_m.X)
+    # plain: pinned to the symmetry axis, never near the goal
+    assert np.abs(X_p[:, 1]).max() < 1e-3
+    assert np.linalg.norm(X_p[:, :2] - [1.0, 0.0], axis=1).min() > 0.5
+    # multistart: swings off-axis, approaches the goal, clears the obstacle
+    assert bool(sol_m.converged)
+    assert float(sol_m.cost) < 0.8 * float(sol_p.cost)
+    assert np.linalg.norm(X_m[:, :2] - [1.0, 0.0], axis=1).min() < 0.25
+    assert np.hypot(X_m[:, 0] - 0.5, X_m[:, 1]).min() > 0.1
+
+
+def test_multistart_never_worse_on_open_floor():
+    """No obstacle, convex-ish landscape: multistart must simply reproduce
+    (or marginally beat) the plain solve — the warm start is one of its
+    polished candidates."""
+    from ros2_mpc_tpu.solver import make_multistart_solver
+
+    prob = _point_stab()
+    theta = prob.make_theta(jnp.zeros(3), jnp.array([0.4, 0.25, 0.5]))
+    sol_p = jax.jit(prob.solve)(theta, prob.default_u0)
+    ms = jax.jit(make_multistart_solver(
+        prob.ocp, prob.settings, MppiSettings(n_samples=32, n_iters=3)
+    ))
+    sol_m = ms(theta, prob.default_u0, jax.random.PRNGKey(1))
+    assert float(sol_m.cost) <= float(sol_p.cost) + 1e-5
+    assert bool(sol_m.converged) >= bool(sol_p.converged)
+
+
+def test_multistart_generalizes_to_bicycle():
+    """Arc seeds are built from the control box alone, so the engine works
+    on any 2-control platform (here: Ackermann steering)."""
+    from ros2_mpc_tpu.solver import make_bicycle_point_stabilization, make_multistart_solver
+
+    prob = make_bicycle_point_stabilization(PARAMS, horizon=24)
+    theta = prob.make_theta(jnp.zeros(3), jnp.array([0.7, 0.2, 0.0]))
+    ms = jax.jit(make_multistart_solver(
+        prob.ocp, prob.settings, MppiSettings(n_samples=32, n_iters=3)
+    ))
+    sol = ms(theta, prob.default_u0, jax.random.PRNGKey(2))
+    assert bool(sol.converged)
+    u = np.asarray(sol.U)
+    lo, hi = np.asarray(prob.ocp.u_lo), np.asarray(prob.ocp.u_hi)
+    assert (u >= lo - 1e-6).all() and (u <= hi + 1e-6).all()

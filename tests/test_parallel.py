@@ -338,3 +338,25 @@ def test_bank_solver_rejects_unknown_engine_and_stray_opts():
         make_bank_solver(prob, mesh, engine="vmap", lanes=8)
     with _pytest.raises(ValueError, match="seed=/settings="):
         make_bank_solver(prob, mesh, engine="mppi", lanes=8)
+
+
+def test_sharded_multistart_engine():
+    """engine='multistart' on the mesh: converged fraction and costs must
+    not lose to the plain vmap engine (the warm start is one candidate)."""
+    from ros2_mpc_tpu.solver.mppi import MppiSettings
+
+    prob = _problem(horizon=6)
+    B = 16
+    thetas, U0 = _bank(prob, B, seed=12)
+    mesh = make_mesh()
+    ms = make_bank_solver(
+        prob, mesh, engine="multistart",
+        settings=MppiSettings(n_samples=16, n_iters=2),
+    )
+    ref = make_bank_solver(prob, mesh, engine="vmap")
+    sols_m, met_m = ms(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    sols_v, met_v = ref(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    assert float(met_m["frac_converged"]) >= float(met_v["frac_converged"]) - 1e-6
+    both = np.asarray(sols_m.converged) & np.asarray(sols_v.converged)
+    assert (np.asarray(sols_m.cost)[both] <= np.asarray(sols_v.cost)[both] + 1e-5).all()
+    assert len(sols_m.U.sharding.device_set) == 8

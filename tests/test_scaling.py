@@ -46,7 +46,12 @@ def test_scaling_bench_harness():
     assert out["devices"] == 8
     assert out["solves_per_s_1dev"] > 0
     assert out["solves_per_s_ndev"] > 0
-    assert 0.25 <= out["scaling_efficiency"] <= 1.6, out
+    # Floor: a partitioning catastrophe (accidental replication, per-device
+    # resharding) measures ~1/8 = 0.125 here. Healthy runs measure 0.2-0.4
+    # depending on ambient host load, so the floor sits between the two
+    # regimes rather than inside the healthy band (0.25 flaked under a
+    # loaded full-suite run).
+    assert 0.17 <= out["scaling_efficiency"] <= 1.6, out
 
 
 def test_scaling_bench_all_engines(tmp_path):
