@@ -78,9 +78,14 @@ class PointFollowerNode:
         if escape_after is not None:
             from ..solver.mppi import MppiSettings, make_multistart_solver
 
+            # Full iLQR schedule for the polish (not the follower's realtime
+            # profile): the arc seeds start cold, and a 12-iteration RTI
+            # schedule cannot converge them — every candidate would come
+            # back non-converged and the escape would select the warm start
+            # it already had. A rare recovery tick can afford the compute.
             escape_solver = make_multistart_solver(
                 self.problem.ocp,
-                self.problem.settings,
+                SolverSettings(),
                 MppiSettings(n_samples=128, n_iters=8),
             )
             esc_packed, _ = make_packed_point_stab(
@@ -88,6 +93,16 @@ class PointFollowerNode:
             )
             self._solve_escape = jax.jit(esc_packed)
             self._escape_key = jax.random.PRNGKey(0)
+            # Pay the XLA compile now (the node's most expensive program):
+            # compiling lazily would stall the live control loop for seconds
+            # on the first escaping tick, blowing every task deadline.
+            n = params.n_obstacle_points
+            far = np.full(n, 100.0)
+            self._solve_escape(
+                self._pack(np.zeros(3), np.zeros(3), far, far),
+                self.problem.default_u0,
+                jax.random.PRNGKey(1),
+            )
         self.u_warm = self.problem.default_u0
         self.u_last = np.zeros(2)
         self.goal_flag = False

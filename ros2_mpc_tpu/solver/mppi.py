@@ -150,6 +150,31 @@ def make_mppi_solver(ocp: OCP, settings: MppiSettings = MppiSettings()):
     return solve
 
 
+def _sanitize_cost(cost):
+    """NaN costs lose to everything (jnp.argmin/min would pick NaN)."""
+    return jnp.where(jnp.isnan(cost), jnp.inf, cost)
+
+
+def _prefer_first(sol_a: Solution, sol_b: Solution) -> jnp.ndarray:
+    """True lexicographic (converged, cost) preference for ``sol_a`` over
+    ``sol_b``; ties go to ``sol_b``. No big-penalty arithmetic — a 1e30
+    offset swamps the cost term entirely in f32, which would make the
+    cost tiebreak a no-op whenever both candidates share a converged flag."""
+    c_a = _sanitize_cost(sol_a.cost)
+    c_b = _sanitize_cost(sol_b.cost)
+    return jnp.where(
+        sol_a.converged == sol_b.converged, c_a < c_b, sol_a.converged
+    )
+
+
+def _select_best(sols: Solution) -> jnp.ndarray:
+    """Index of the lexicographically best candidate in a batched Solution:
+    lowest (NaN-safe) cost among the converged, else lowest cost overall."""
+    cost = _sanitize_cost(sols.cost)
+    masked = jnp.where(sols.converged, cost, jnp.inf)
+    return jnp.where(jnp.any(sols.converged), jnp.argmin(masked), jnp.argmin(cost))
+
+
 def make_multistart_solver(
     ocp: OCP,
     ilqr_settings: SolverSettings = SolverSettings(),
@@ -209,8 +234,7 @@ def make_multistart_solver(
             n_extra = sol_m.n_iters
         cands = jnp.concatenate([jnp.stack(starts), ARC_SEEDS], axis=0)
         sols = jax.vmap(ilqr, in_axes=(None, 0))(theta, cands)
-        rank = (1.0 - sols.converged.astype(jnp.float32)) * 1e30 + sols.cost
-        i = jnp.argmin(rank)
+        i = _select_best(sols)
         return Solution(
             U=sols.U[i],
             X=sols.X[i],
@@ -253,10 +277,8 @@ def make_hybrid_solver(
         sol_m = mppi(theta, U0, key)
         sol_a = ilqr(theta, sol_m.U)  # polish the explored basin
         sol_b = ilqr(theta, U0)  # the plain local solve
-        # prefer converged; among equals prefer lower cost
-        a_key = (1.0 - sol_a.converged.astype(jnp.float32)) * 1e30 + sol_a.cost
-        b_key = (1.0 - sol_b.converged.astype(jnp.float32)) * 1e30 + sol_b.cost
-        take_a = a_key < b_key
+        # prefer converged; among equals prefer lower cost; ties -> plain
+        take_a = _prefer_first(sol_a, sol_b)
         pick = lambda a, b: jnp.where(take_a, a, b)
         return Solution(
             U=pick(sol_a.U, sol_b.U),

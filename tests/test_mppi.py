@@ -232,3 +232,34 @@ def test_multistart_generalizes_to_bicycle():
     u = np.asarray(sol.U)
     lo, hi = np.asarray(prob.ocp.u_lo), np.asarray(prob.ocp.u_hi)
     assert (u >= lo - 1e-6).all() and (u <= hi + 1e-6).all()
+
+
+def test_selection_semantics_nan_and_nonconverged():
+    """Ranking regressions (self-review round 3): among all-non-converged
+    candidates the LOWEST COST must win (a 1e30 penalty swamps the f32 cost
+    tiebreak and degenerates argmin to index 0), and a NaN cost must never
+    win over a finite one."""
+    from ros2_mpc_tpu.solver.ilqr import Solution
+    from ros2_mpc_tpu.solver.mppi import _prefer_first, _select_best
+
+    def bank(cost, conv):
+        k = len(cost)
+        return Solution(
+            U=jnp.zeros((k, 2, 2)), X=jnp.zeros((k, 3, 3)),
+            cost=jnp.asarray(cost), kkt_residual=jnp.zeros(k),
+            converged=jnp.asarray(conv), n_iters=jnp.zeros(k, jnp.int32),
+            reg=jnp.zeros(k),
+        )
+
+    assert int(_select_best(bank([500.0, 3.0, 80.0], [False] * 3))) == 1
+    assert int(_select_best(bank([np.nan, 2.0], [True, True]))) == 1
+    assert int(_select_best(bank([1.0, 50.0], [False, True]))) == 1
+
+    def one(c, v):
+        return Solution(U=0, X=0, cost=jnp.asarray(c), kkt_residual=0,
+                        converged=jnp.asarray(v), n_iters=0, reg=0)
+
+    assert not bool(_prefer_first(one(np.nan, True), one(5.0, True)))
+    assert bool(_prefer_first(one(2.0, True), one(5.0, True)))
+    assert bool(_prefer_first(one(5.0, True), one(2.0, False)))
+    assert not bool(_prefer_first(one(3.0, True), one(3.0, True)))  # tie -> plain
