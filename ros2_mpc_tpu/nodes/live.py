@@ -365,8 +365,6 @@ def run_live(
     logging.basicConfig(level=logging.INFO)
     fkw = {}
     if escape_after is not None:
-        if follower != "point":
-            raise SystemExit("--escape-after requires --follower point")
         fkw["escape_after"] = escape_after
     stack = build_live_stack(
         follower=follower, source=source, horizon=20, viz_dir=viz_dir,
@@ -402,8 +400,8 @@ def main():
     )
     ap.add_argument(
         "--escape-after", type=int, default=None, metavar="K",
-        help="point follower only: after K consecutive non-converged solves "
-             "run one hybrid MPPI->iLQR basin-escape tick (solver/mppi.py)",
+        help="after K consecutive non-converged solves run one multi-start "
+             "basin-escape tick (solver/mppi.py) that re-seeds the warm start",
     )
     args = ap.parse_args()
     stats = run_live(

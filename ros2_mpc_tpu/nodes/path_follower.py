@@ -60,7 +60,14 @@ class PathFollowerNode:
         reference_parity: bool = False,
         horizon: int | None = None,
         settings: SolverSettings | None = None,
+        escape_after: int | None = None,
     ):
+        """``escape_after``: opt-in basin-escape recovery, same contract as
+        the point follower's (nodes/point_follower.py): after that many
+        consecutive non-converged warm-started TRACKING solves, one tick
+        runs the multi-start engine (solver/mppi.py) on the tracking OCP
+        and re-seeds the warm start. Handoff (point-stab) solves never
+        escape — they are cold-started and short-lived by design."""
         self.params = params
         self.reference_parity = reference_parity
         self.robot_controller = RobotController(bus)
@@ -93,6 +100,32 @@ class PathFollowerNode:
         # quirk #9: the reference hardcodes a 0.15 m latch, ignoring its own
         # goal_threshold param (0.2); corrected mode honors the param.
         self.goal_radius = params.tracking_goal_radius if reference_parity else params.goal_threshold
+        self.escape_after = escape_after
+        self._stall = 0
+        self.n_escapes = 0
+        if escape_after is not None:
+            from ..solver.mppi import MppiSettings, make_multistart_solver
+
+            # full schedule for the polish: cold arc seeds cannot converge
+            # on the realtime profile (see point_follower.py rationale)
+            escape_solver = make_multistart_solver(
+                self.problem.ocp,
+                SolverSettings(),
+                MppiSettings(n_samples=128, n_iters=8),
+            )
+            esc_packed, _ = make_packed_tracking(
+                self.problem, params, solve_fn=escape_solver
+            )
+            self._solve_escape = jax.jit(esc_packed)
+            self._escape_key = jax.random.PRNGKey(0)
+            # compile now, not mid-run on the live graph
+            n_obs = params.n_obstacle_points
+            far = np.full(n_obs, 100.0)
+            self._solve_escape(
+                self._pack(np.zeros(3), np.zeros((self.N, 3)), np.zeros((self.N, 2)), far, far),
+                self.problem.default_u0,
+                jax.random.PRNGKey(1),
+            )
         self.u_warm = self.problem.default_u0
         self.u_last = np.zeros(2)
         self.goal_flag = False
@@ -138,6 +171,7 @@ class PathFollowerNode:
         _, path_velocity, path_omega = path_motion_profile(path_xy, p.dt)
         x0 = np.array([pos[0], pos[1], ori[2]])
         goal_dist = float(np.linalg.norm(x0[:2] - goal[:2]))
+        escaping = False
         t0 = time.perf_counter()
         if goal_dist < self.handoff_radius:
             # point-stabilization handoff on the exact goal pose
@@ -153,7 +187,16 @@ class PathFollowerNode:
             )
             packed = self._pack(x0, pxf, puf, x_obs, y_obs)
             U0 = self.problem.default_u0 if self.reference_parity else self.u_warm
-            sol, u_warm_next = self._solve(packed, U0)
+            escaping = self.escape_after is not None and self._stall >= self.escape_after
+            if escaping:
+                self._escape_key, key = jax.random.split(self._escape_key)
+                sol, u_warm_next = self._solve_escape(packed, U0, key)
+                self.n_escapes += 1
+                self._stall = 0
+            else:
+                sol, u_warm_next = self._solve(packed, U0)
+                if self.escape_after is not None:
+                    self._stall = 0 if bool(sol.converged) else self._stall + 1
         solve_s = time.perf_counter() - t0
         u = np.asarray(sol.U[0])
         if not np.all(np.isfinite(u)):
@@ -187,6 +230,7 @@ class PathFollowerNode:
             "u": u,
             "solve_s": solve_s,
             "kkt": float(sol.kkt_residual),
+            "escaped": escaping,
         }
 
 

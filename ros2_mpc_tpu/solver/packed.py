@@ -63,21 +63,23 @@ def make_packed_point_stab(problem: Problem, params: Params = Params(), solve_fn
     return solve_packed, pack
 
 
-def make_packed_tracking(problem: Problem, params: Params = Params()):
+def make_packed_tracking(problem: Problem, params: Params = Params(), solve_fn=None):
     """(solve_packed, pack) for a tracking problem; same contract as
-    :func:`make_packed_point_stab` (Solution + in-jit shifted warm start)."""
+    :func:`make_packed_point_stab` (Solution + in-jit shifted warm start,
+    optional engine swap via ``solve_fn`` with ``*extra`` forwarding)."""
     n = params.n_obstacle_points
     N = problem.ocp.horizon
     const = problem.make_theta(np.zeros(3), np.zeros((N, 3)), np.zeros((N, 2)))
+    solve = solve_fn if solve_fn is not None else problem.solve
 
-    def solve_packed(vec, U0):
+    def solve_packed(vec, U0, *extra):
         theta = dict(const)
         theta["x0"] = vec[0:3]
         theta["x_ref"] = vec[3 : 3 + 3 * N].reshape(N, 3)
         theta["u_ref"] = vec[3 + 3 * N : 3 + 5 * N].reshape(N, 2)
         theta["obs_x"] = vec[3 + 5 * N : 3 + 5 * N + n]
         theta["obs_y"] = vec[3 + 5 * N + n : 3 + 5 * N + 2 * n]
-        sol = problem.solve(theta, U0)
+        sol = solve(theta, U0, *extra)
         return sol, shift_controls(sol.U)
 
     def pack(x0, x_ref, u_ref, obs_x, obs_y) -> np.ndarray:

@@ -263,3 +263,32 @@ def test_selection_semantics_nan_and_nonconverged():
     assert bool(_prefer_first(one(2.0, True), one(5.0, True)))
     assert bool(_prefer_first(one(5.0, True), one(2.0, False)))
     assert not bool(_prefer_first(one(3.0, True), one(3.0, True)))  # tie -> plain
+
+
+@pytest.mark.slow
+def test_tracking_follower_escape_recovery():
+    """escape_after on the tracking follower: a (forced) stall triggers one
+    multi-start escape on the tracking OCP; the run still reaches the goal."""
+    from ros2_mpc_tpu.nodes.launch import build_sim_stack
+
+    stack = build_sim_stack(
+        follower="tracking", start_pose=(-1.0, -1.0, 0.0), horizon=12,
+        follower_kwargs=dict(escape_after=3),
+    )
+    node = stack.follower
+    stack.publish_goal(1.0, -1.0)
+    stack.global_planner.tick()
+    out = stack.tick()
+    assert out["control"].get("escaped") is False
+    node._stall = 99
+    out = stack.tick()
+    assert out["control"]["escaped"] is True
+    assert node.n_escapes == 1
+    assert np.all(np.isfinite(out["control"]["u"]))
+    reached = False
+    for _ in range(300):
+        o = stack.tick()
+        if o["control"].get("status") == "goal_reached":
+            reached = True
+            break
+    assert reached
