@@ -36,12 +36,17 @@ class SweepSpec:
 
 
 def build_sweep_thetas(problem, spec: SweepSpec, params):
-    """Flattened theta bank: (n_configs * scenarios_per_config, ...)."""
+    """Flattened theta bank: (n_configs * scenarios_per_config, ...).
+
+    Generic over the problem's state dimension: pose (x, y, theta) is
+    randomized, any extra states (e.g. the smooth-actuation unicycle's
+    velocities, solver/problems_ext.py) start at zero."""
     rng = np.random.default_rng(spec.seed)
     n_cfg = len(spec.q_scales) * len(spec.r_scales)
     B = n_cfg * spec.scenarios_per_config
 
-    x0 = rng.uniform(-0.3, 0.3, size=(B, 3))
+    x0 = np.zeros((B, problem.ocp.n_states))
+    x0[:, :3] = rng.uniform(-0.3, 0.3, size=(B, 3))
     goal = np.concatenate(
         [rng.uniform(-1.5, 1.5, size=(B, 2)), rng.uniform(-np.pi, np.pi, size=(B, 1))],
         axis=1,

@@ -127,3 +127,20 @@ def test_new_kinds_shard_with_vmap_engine_and_reject_specialized():
 
     with pytest.raises(ValueError, match="unicycle point-stabilization"):
         make_fleet_rollout(prob, n_ticks=2, dt=PARAMS.dt)
+
+
+def test_sweep_runs_on_new_model_families():
+    """Monte-Carlo tuning sweeps are model-generic through the vmap engine:
+    the same SweepSpec grid runs on the bicycle and the smooth-actuation
+    unicycle (extra velocity states start at zero)."""
+    from ros2_mpc_tpu.parallel import SweepSpec, make_mesh, run_sweep
+    from ros2_mpc_tpu.solver.ilqr import SolverSettings
+
+    spec = SweepSpec(q_scales=(0.5, 2.0), r_scales=(1.0,), scenarios_per_config=4)
+    fast = SolverSettings(barrier_stages=3, iters_per_stage=3, n_alphas=6)
+    mesh = make_mesh()
+    for make in (make_bicycle_point_stabilization, make_smooth_point_stabilization):
+        prob = make(PARAMS, horizon=6, settings=fast)
+        out = run_sweep(prob, spec, mesh=mesh, engine="vmap")
+        assert out["mean_goal_error"].shape == (2,)
+        assert np.isfinite(out["mean_goal_error"]).all()
