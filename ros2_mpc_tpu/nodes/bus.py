@@ -115,6 +115,7 @@ class MessageBus:
         self._callbacks: dict[str, list[Callable[[Any], None]]] = defaultdict(list)
         self._tf: dict[tuple[str, str], Transform] = {}
         self._sub_counts: dict[str, int] = defaultdict(int)
+        self._taps: list[Callable[[str, Any, int], None]] = []
 
     # pub/sub
     def publish(self, topic: str, msg: Any) -> int:
@@ -123,9 +124,24 @@ class MessageBus:
             self._seq[topic] += 1
             seq = self._seq[topic]
             callbacks = list(self._callbacks[topic])
+            taps = list(self._taps)
         for cb in callbacks:
             cb(msg)
+        for tap in taps:
+            tap(topic, msg, seq)
         return seq
+
+    def tap(self, callback: Callable[[str, Any, int], None]):
+        """Wildcard observer: ``callback(topic, msg, seq)`` on EVERY publish
+        (the bag recorder's hook, nodes/bag.py). Taps see messages after
+        per-topic callbacks and never block publishers holding the lock."""
+        with self._lock:
+            self._taps.append(callback)
+
+    def untap(self, callback: Callable[[str, Any, int], None]):
+        with self._lock:
+            if callback in self._taps:
+                self._taps.remove(callback)
 
     def subscribe(self, topic: str, callback: Optional[Callable[[Any], None]] = None):
         with self._lock:

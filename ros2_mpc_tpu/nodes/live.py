@@ -359,6 +359,7 @@ def run_live(
     source: str = "sim",
     viz_dir: Optional[str] = None,
     escape_after: Optional[int] = None,
+    bag_path: Optional[str] = None,
 ) -> dict:
     """Console entry: run the live graph until the goal latches or the time
     budget expires; log per-task rate/deadline stats."""
@@ -370,8 +371,19 @@ def run_live(
         follower=follower, source=source, horizon=20, viz_dir=viz_dir,
         follower_kwargs=fkw,
     )
+    recorder = None
+    if bag_path is not None:
+        from .bag import BagRecorder
+
+        recorder = BagRecorder(stack.bus)
     stack.publish_goal(goal[0], goal[1])
     stats = stack.run(duration)
+    if recorder is not None:
+        from .bag import save_bag
+
+        records = recorder.stop()
+        save_bag(bag_path, records)
+        log.info("bag: %d records -> %s", len(records), bag_path)
     for name, s in stats["tasks"].items():
         log.info(
             "%-14s %5.1f Hz  runs=%-5d misses=%-3d max_late=%.3fs mean_run=%.4fs",
@@ -399,6 +411,11 @@ def main():
         help="render the running stack to DIR/latest.png at 1 Hz (RViz surrogate)",
     )
     ap.add_argument(
+        "--bag", default=None, metavar="PATH",
+        help="record every bus topic to PATH (nodes/bag.py; replay with "
+             "ros2_mpc_tpu.nodes.bag.replay)",
+    )
+    ap.add_argument(
         "--escape-after", type=int, default=None, metavar="K",
         help="after K consecutive non-converged solves run one multi-start "
              "basin-escape tick (solver/mppi.py) that re-seeds the warm start",
@@ -406,7 +423,7 @@ def main():
     args = ap.parse_args()
     stats = run_live(
         args.follower, args.duration, tuple(args.goal), args.source, args.viz,
-        escape_after=args.escape_after,
+        escape_after=args.escape_after, bag_path=args.bag,
     )
     raise SystemExit(0 if stats["goal_reached"] else 1)
 
