@@ -42,6 +42,7 @@ class SimStack:
     global_costmap: GlobalCostmapNode
     transform_publisher: TransformPublisherNode
     params: Params
+    safety: Optional[object] = None
 
     def publish_goal(self, x: float, y: float, yaw: float = 0.0):
         self.bus.publish(
@@ -90,13 +91,19 @@ def build_sim_stack(
     noise: Optional[dict] = None,
     noise_seed: int = 0,
     follower_kwargs: Optional[dict] = None,
+    safety_stop: Optional[float] = None,
 ) -> SimStack:
     """Assemble the nav-config node graph (launch_all_nav.launch.py) against
     the in-process simulator.
 
     ``planner_map_image`` lets the map server publish a different (e.g.
     stale) map than the simulated world — unmapped obstacles are then visible
-    only through the lidar, exercising the MPC's live obstacle costs."""
+    only through the lidar, exercising the MPC's live obstacle costs.
+
+    ``safety_stop`` inserts a SafetyMonitorNode (nodes/safety.py) into the
+    command chain: the follower publishes to cmd_vel_raw and the monitor
+    forwards to cmd_vel, zeroing linear motion whenever the commanded
+    direction has a scan return closer than this distance [m]."""
     bus = MessageBus()
     if map_image is None:
         map_image = pgm.synthetic_indoor_map()
@@ -114,7 +121,13 @@ def build_sim_stack(
     global_planner = GlobalPathPublisherNode(
         bus, params, use_scan_obstacles=not reference_parity
     )
-    fkw = follower_kwargs or {}
+    fkw = dict(follower_kwargs or {})
+    safety = None
+    if safety_stop is not None:
+        from .safety import SafetyMonitorNode
+
+        fkw.setdefault("cmd_topic", "cmd_vel_raw")
+        safety = SafetyMonitorNode(bus, params, stop_distance=safety_stop)
     if follower == "tracking":
         ctrl = PathFollowerNode(
             bus, params, horizon=horizon, reference_parity=reference_parity, **fkw
@@ -141,6 +154,7 @@ def build_sim_stack(
         global_costmap=global_costmap,
         transform_publisher=transform_publisher,
         params=params,
+        safety=safety,
     )
 
 

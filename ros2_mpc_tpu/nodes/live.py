@@ -196,6 +196,7 @@ def build_live_stack(
     viz_dir: Optional[str] = None,
     viz_period: float = 1.0,
     follower_kwargs: Optional[dict] = None,
+    safety_stop: Optional[float] = None,
 ) -> LiveStack:
     """Assemble the live-config node graph (launch_all.launch.py:8-64:
     follower + global path publisher + robot state publisher + both costmap
@@ -238,7 +239,14 @@ def build_live_stack(
     planner = GlobalPathPublisherNode(bus, params)
     tasks.append(Task("replan", params.path_refresh_period, planner.tick))
 
-    fkw = follower_kwargs or {}
+    fkw = dict(follower_kwargs or {})
+    if safety_stop is not None:
+        # command-chain collision guard (nodes/safety.py): follower ->
+        # cmd_vel_raw -> monitor -> cmd_vel; event-driven, no rate task
+        from .safety import SafetyMonitorNode
+
+        fkw.setdefault("cmd_topic", "cmd_vel_raw")
+        SafetyMonitorNode(bus, params, stop_distance=safety_stop)
     if follower == "tracking":
         ctrl = PathFollowerNode(bus, params, horizon=horizon, **fkw)
     else:
@@ -360,6 +368,7 @@ def run_live(
     viz_dir: Optional[str] = None,
     escape_after: Optional[int] = None,
     bag_path: Optional[str] = None,
+    safety_stop: Optional[float] = None,
 ) -> dict:
     """Console entry: run the live graph until the goal latches or the time
     budget expires; log per-task rate/deadline stats."""
@@ -369,7 +378,7 @@ def run_live(
         fkw["escape_after"] = escape_after
     stack = build_live_stack(
         follower=follower, source=source, horizon=20, viz_dir=viz_dir,
-        follower_kwargs=fkw,
+        follower_kwargs=fkw, safety_stop=safety_stop,
     )
     recorder = None
     if bag_path is not None:
@@ -411,6 +420,12 @@ def main():
         help="render the running stack to DIR/latest.png at 1 Hz (RViz surrogate)",
     )
     ap.add_argument(
+        "--safety-stop", type=float, default=None, metavar="DIST",
+        help="insert the command-chain collision guard (nodes/safety.py): "
+             "zero linear motion when the commanded direction has a scan "
+             "return closer than DIST meters",
+    )
+    ap.add_argument(
         "--bag", default=None, metavar="PATH",
         help="record every bus topic to PATH (nodes/bag.py; replay with "
              "ros2_mpc_tpu.nodes.bag.replay)",
@@ -424,6 +439,7 @@ def main():
     stats = run_live(
         args.follower, args.duration, tuple(args.goal), args.source, args.viz,
         escape_after=args.escape_after, bag_path=args.bag,
+        safety_stop=args.safety_stop,
     )
     raise SystemExit(0 if stats["goal_reached"] else 1)
 

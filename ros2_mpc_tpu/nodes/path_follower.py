@@ -61,6 +61,7 @@ class PathFollowerNode:
         horizon: int | None = None,
         settings: SolverSettings | None = None,
         escape_after: int | None = None,
+        cmd_topic: str = "cmd_vel",
     ):
         """``escape_after``: opt-in basin-escape recovery, same contract as
         the point follower's (nodes/point_follower.py): after that many
@@ -72,7 +73,7 @@ class PathFollowerNode:
         self.reference_parity = reference_parity
         self.robot_controller = RobotController(bus)
         self.odom_node = OdomSubscriber(bus)
-        self.cmd_vel_publisher = CmdVelPublisher(bus)
+        self.cmd_vel_publisher = CmdVelPublisher(bus, cmd_topic)
         self.goal_listener = GoalSubscriber(bus)
         self.laser_node = LaserSubscriber(bus)
         # corrected mode: live obstacle costs see only *unmapped* returns

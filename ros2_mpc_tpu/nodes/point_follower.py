@@ -41,6 +41,7 @@ class PointFollowerNode:
         horizon: int | None = None,
         settings: SolverSettings | None = None,
         escape_after: int | None = None,
+        cmd_topic: str = "cmd_vel",
     ):
         """``escape_after``: opt-in basin-escape recovery. After that many
         consecutive non-converged warm-started solves, one tick runs the
@@ -57,7 +58,7 @@ class PointFollowerNode:
         self.reference_parity = reference_parity
         self.robot_controller = RobotController(bus)
         self.odom_node = OdomSubscriber(bus)
-        self.cmd_vel_publisher = CmdVelPublisher(bus)
+        self.cmd_vel_publisher = CmdVelPublisher(bus, cmd_topic)
         self.goal_listener = GoalSubscriber(bus)
         self.laser_node = LaserSubscriber(bus)
         self.goal_point_publisher = GoalPointPublisher(bus)

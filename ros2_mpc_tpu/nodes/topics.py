@@ -61,13 +61,17 @@ class MapSubscriber(BusNode):
 
 
 class CmdVelPublisher(BusNode):
-    """cmd_vel publisher (ros_topics.py:43-53)."""
+    """cmd_vel publisher (ros_topics.py:43-53).
 
-    def __init__(self, bus: MessageBus):
+    ``topic`` redirects the output (e.g. to ``cmd_vel_raw`` when a
+    SafetyMonitorNode gates the command chain, nodes/safety.py)."""
+
+    def __init__(self, bus: MessageBus, topic: str = "cmd_vel"):
         super().__init__(bus, "cmd_vel_publisher")
+        self.topic = topic
 
     def publish_cmd(self, v: float, w: float):
-        self.bus.publish("cmd_vel", Twist(linear_x=float(v), angular_z=float(w)))
+        self.bus.publish(self.topic, Twist(linear_x=float(v), angular_z=float(w)))
 
 
 class OdomSubscriber(BusNode):
