@@ -102,3 +102,64 @@ def replay(
             on_record(rec)
         n += 1
     return n
+
+
+def _info(records: list[BagRecord]) -> str:
+    from collections import Counter
+
+    if not records:
+        return "empty bag"
+    counts = Counter(r.topic for r in records)
+    dur = records[-1].t - records[0].t
+    lines = [f"{len(records)} records over {dur:.1f} s"]
+    for topic, n in sorted(counts.items()):
+        hz = n / dur if dur > 0 else float("inf")
+        lines.append(f"  {topic:<22} {n:>6}  (~{hz:.1f} Hz)")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    """Console entry (``tpu-mpc-bag``): inspect or replay a recorded run.
+
+    ``tpu-mpc-bag info run.bag`` prints the topic histogram;
+    ``tpu-mpc-bag replay run.bag --viz DIR`` re-renders the dashboard frames
+    offline from the recorded topics — RViz-after-the-fact for a run that
+    happened on a robot with no display attached.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("command", choices=["info", "replay"])
+    ap.add_argument("bag", help="bag file (save_bag format)")
+    ap.add_argument("--topics", nargs="*", default=None, help="replay only these")
+    ap.add_argument("--realtime", action="store_true", help="reproduce original pacing")
+    ap.add_argument("--viz", default=None, metavar="DIR",
+                    help="render a dashboard frame per recorded scan into DIR")
+    ap.add_argument("--viz-history", type=int, default=0,
+                    help="also keep numbered frame_NNNN.png history")
+    args = ap.parse_args(argv)
+
+    records = load_bag(args.bag)
+    if args.command == "info":
+        print(_info(records))
+        return
+
+    bus = MessageBus()
+    viz = None
+    if args.viz is not None:
+        from .viz_node import LiveVizNode
+
+        viz = LiveVizNode(bus, out_dir=args.viz, history=args.viz_history)
+
+    def on_record(rec):
+        if viz is not None and rec.topic == "/scan":
+            viz.tick()
+
+    n = replay(bus, records, topics=args.topics, realtime=args.realtime,
+               on_record=on_record)
+    frames = f", {viz.frames} frames -> {args.viz}" if viz is not None else ""
+    print(f"replayed {n} records{frames}")
+
+
+if __name__ == "__main__":
+    main()

@@ -88,3 +88,23 @@ def test_replay_filters_topics():
     replay(bus2, records, topics=("/scan",))
     assert bus2.latest("/scan")[0] is not None
     assert bus2.latest("cmd_vel")[0] is None
+
+
+def test_bag_cli_info_and_offline_viz(tmp_path, capsys):
+    import os
+
+    from ros2_mpc_tpu.nodes import bag as bagmod
+
+    _, records = _record_run(n_ticks=10)
+    p = tmp_path / "run.bag"
+    save_bag(str(p), records)
+
+    bagmod.main(["info", str(p)])
+    out = capsys.readouterr().out
+    assert "/scan" in out and "records over" in out
+
+    viz_dir = tmp_path / "viz"
+    bagmod.main(["replay", str(p), "--viz", str(viz_dir)])
+    out = capsys.readouterr().out
+    assert "replayed" in out
+    assert os.path.exists(viz_dir / "latest.png")
