@@ -17,6 +17,11 @@ Roles (mirroring the reference's process groups):
 * ``costmaps`` — local + global costmap publishers (10 Hz).
 * ``follower`` — the MPC control loop (5 Hz), publishing ``cmd_vel`` and a
   ``_control_status`` heartbeat the supervisor watches for goal latching.
+* ``safety``   — optional command-chain collision guard (nodes/safety.py) as
+  its OWN process: the follower publishes ``cmd_vel_raw``, the monitor gates
+  to ``cmd_vel``. Process isolation is the point — the last safety stage
+  survives a crash of the planner or follower (the reference has no guard at
+  all, and a failed IPOPT solve kills its node).
 
 ``run_multiprocess`` is the supervisor: it spawns the three compute roles,
 runs the world role in-process, and broadcasts ``_shutdown`` once the
@@ -51,7 +56,8 @@ log = logging.getLogger("multiproc")
 
 SHUTDOWN_TOPIC = "_shutdown"
 STATUS_TOPIC = "_control_status"
-ROLES = ("world", "planner", "costmaps", "follower")
+ROLES = ("world", "planner", "costmaps", "follower", "safety")
+SAFETY_STATUS_TOPIC = "_safety_status"
 
 
 def publish_goal(bus, x: float, y: float, yaw: float = 0.0):
@@ -80,6 +86,8 @@ def build_role_tasks(
     start_pose=(-1.0, -1.0, 0.0),
     map_image=None,
     map_info=None,
+    cmd_topic: str = "cmd_vel",
+    safety_stop: float = 0.25,
 ):
     """(tasks, extras) for one role. Every role leads with a ``bus_spin``
     task — the rclpy.spin_once analogue pumping remote publishes into local
@@ -118,9 +126,9 @@ def build_role_tasks(
         )
     elif role == "follower":
         if follower == "tracking":
-            ctrl = PathFollowerNode(bus, params, horizon=horizon)
+            ctrl = PathFollowerNode(bus, params, horizon=horizon, cmd_topic=cmd_topic)
         else:
-            ctrl = PointFollowerNode(bus, params, horizon=horizon)
+            ctrl = PointFollowerNode(bus, params, horizon=horizon, cmd_topic=cmd_topic)
 
         def control_tick():
             out = ctrl.tick()
@@ -129,6 +137,21 @@ def build_role_tasks(
 
         tasks.append(Task("control", params.dt, control_tick))
         extras["ctrl"] = ctrl
+    elif role == "safety":
+        from .safety import SafetyMonitorNode
+
+        monitor = SafetyMonitorNode(bus, params, stop_distance=safety_stop)
+
+        def heartbeat():
+            bus.publish(
+                SAFETY_STATUS_TOPIC,
+                {"blocked": monitor.n_blocked, "passed": monitor.n_passed},
+            )
+
+        # gating itself is event-driven off bus_spin; the 1 s heartbeat just
+        # exposes the counters to the supervisor
+        tasks.append(Task("safety_heartbeat", 1.0, heartbeat))
+        extras["monitor"] = monitor
     else:
         raise ValueError(f"unknown role {role!r} (choose from {ROLES})")
     return tasks, extras
@@ -141,20 +164,26 @@ def run_role(
     follower: str = "point",
     horizon: Optional[int] = None,
     params: Optional[Params] = None,
+    cmd_topic: str = "cmd_vel",
+    safety_stop: float = 0.25,
 ) -> dict:
     """Run one role against an existing bus file until the duration expires
     or a ``_shutdown`` broadcast arrives."""
     params = params or Params()
     bus = SharedMemoryBus(bus_path)
     try:
-        tasks, _ = build_role_tasks(role, bus, params, follower=follower, horizon=horizon)
+        tasks, _ = build_role_tasks(
+            role, bus, params, follower=follower, horizon=horizon,
+            cmd_topic=cmd_topic, safety_stop=safety_stop,
+        )
         sched = RateScheduler(tasks)
         return sched.run(duration, stop=lambda: _stop_requested(bus))
     finally:
         bus.close()
 
 
-def _role_entry(role, bus_path, duration, follower, horizon, platform):
+def _role_entry(role, bus_path, duration, follower, horizon, platform,
+                cmd_topic="cmd_vel", safety_stop=0.25):
     """Child-process entry (module-level for the spawn pickler).
 
     The role's JAX platform is pinned HERE, not inherited: the interpreter
@@ -172,7 +201,8 @@ def _role_entry(role, bus_path, duration, follower, horizon, platform):
             jax.config.update("jax_platforms", platform)
         except Exception:  # noqa: BLE001 - keep the role alive; worst case is the ambient platform
             pass
-    run_role(role, bus_path, duration, follower=follower, horizon=horizon)
+    run_role(role, bus_path, duration, follower=follower, horizon=horizon,
+             cmd_topic=cmd_topic, safety_stop=safety_stop)
 
 
 def run_multiprocess(
@@ -185,16 +215,23 @@ def run_multiprocess(
     bus_path: Optional[str] = None,
     roles=("planner", "costmaps", "follower"),
     role_platform: str = "cpu",
+    safety_stop: Optional[float] = None,
 ) -> dict:
     """Supervisor: spawn the compute roles as OS processes, run the world
     role here, stop everything once the follower latches the goal.
 
     ``role_platform`` pins each child role's JAX backend (see
     :func:`_role_entry`); pass ``""`` to inherit the ambient platform.
+    ``safety_stop`` adds the safety role (its own OS process): the follower
+    publishes cmd_vel_raw and the monitor gates to cmd_vel at this stop
+    distance [m]; the supervisor surfaces its counters as stats["safety"].
 
     Returns the world role's rate stats plus ``goal_reached`` / ``final_pose``.
     """
     params = params or Params()
+    if safety_stop is not None and "safety" not in roles:
+        roles = tuple(roles) + ("safety",)
+    cmd_topic = "cmd_vel_raw" if "safety" in roles else "cmd_vel"
     ctx = multiprocessing.get_context("spawn")  # never fork a live JAX runtime
     workdir = None
     if bus_path is None:
@@ -206,7 +243,8 @@ def run_multiprocess(
     procs = [
         ctx.Process(
             target=_role_entry,
-            args=(role, bus_path, duration + 30.0, follower, horizon, role_platform),
+            args=(role, bus_path, duration + 30.0, follower, horizon, role_platform,
+                  cmd_topic, safety_stop if safety_stop is not None else 0.25),
             name=f"tpu-mpc-{role}",
             daemon=True,
         )
@@ -237,6 +275,8 @@ def run_multiprocess(
         stats["failed_roles"] = [
             p.name for p in procs if p.exitcode not in (None, 0)
         ]
+        if "safety" in roles:
+            stats["safety"] = bus.latest(SAFETY_STATUS_TOPIC)[0]
     finally:
         try:
             bus.publish(SHUTDOWN_TOPIC, True)
@@ -266,6 +306,10 @@ def main():
     ap.add_argument("--follower", default="point", choices=["point", "tracking"])
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--goal", type=float, nargs=2, default=(1.0, -1.0))
+    ap.add_argument(
+        "--safety-stop", type=float, default=None, metavar="DIST",
+        help="add the safety-monitor role (own OS process) gating cmd_vel",
+    )
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
     # Host deployment shape: all roles on CPU (a TPU follower should use the
@@ -279,7 +323,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
-    stats = run_multiprocess(args.follower, args.duration, tuple(args.goal))
+    stats = run_multiprocess(
+        args.follower, args.duration, tuple(args.goal),
+        safety_stop=args.safety_stop,
+    )
     for name, s in stats.get("tasks", {}).items():
         log.info(
             "%-14s %5.1f Hz  runs=%-5d misses=%-3d max_late=%.3fs",

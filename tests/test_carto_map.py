@@ -77,7 +77,10 @@ def test_live_graph_navigates_carto_map(carto):
         start_pose=(1.8, -0.4, 0.0), horizon=20,
     )
     stack.publish_goal(4.2, -0.4)
-    stats = stack.run(duration=60.0)
+    # 90 s budget: the run latches in ~15-25 s unloaded and stack.run stops
+    # at the latch, so the slack is free — it only absorbs ambient host load
+    # (a 60 s budget flaked when the suite shared the 2 cores with other work)
+    stats = stack.run(duration=90.0)
     assert stats["goal_reached"], stats["tasks"]
     ctrl = stats["tasks"]["control"]
     assert ctrl["misses"] <= max(2, 0.1 * ctrl["runs"]), ctrl

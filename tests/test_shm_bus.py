@@ -169,3 +169,23 @@ def test_multiprocess_nav_reaches_goal():
     # the world role held its rates while the compute roles ran elsewhere
     assert stats["tasks"]["robot_state"]["runs"] > 0
     assert stats["tasks"]["lidar"]["runs"] > 0
+
+
+@pytest.mark.slow
+def test_multiprocess_with_safety_role():
+    """The safety monitor as its OWN OS process on the shm bus: the follower
+    publishes cmd_vel_raw, the monitor process gates to cmd_vel, and the
+    robot still reaches the goal on a clear route (guard transparent); the
+    supervisor surfaces the monitor's counters over the bus heartbeat."""
+    from ros2_mpc_tpu.nodes.multiproc import run_multiprocess
+
+    stats = run_multiprocess(
+        follower="point", duration=150.0, horizon=12, safety_stop=0.2
+    )
+    assert stats["goal_reached"], stats
+    assert stats["failed_roles"] == []
+    safety = stats.get("safety")
+    assert safety is not None and safety["passed"] > 0
+    # every forwarded command crossed two process boundaries (follower ->
+    # monitor -> world); on the clear route nothing should be blocked
+    assert safety["blocked"] == 0
