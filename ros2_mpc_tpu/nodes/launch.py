@@ -31,6 +31,26 @@ from .state_publishers import TransformPublisherNode
 log = logging.getLogger("launch")
 
 
+class _MapperMapSource:
+    """map_server-shaped adapter over the occupancy mapper: every graph tick
+    folds the newest scan in; /map republishes at 1 Hz of sim time (the same
+    cadence a real mapping stack publishes at)."""
+
+    def __init__(self, mapper, publish_every: int = 5):
+        self.mapper = mapper
+        self.publish_every = publish_every
+        self._i = 0
+
+    def tick(self):
+        self.mapper.tick()
+        self._i += 1
+        if self._i % self.publish_every == 0:
+            self.mapper.publish()
+
+    def publish(self):
+        self.mapper.publish()
+
+
 @dataclasses.dataclass
 class SimStack:
     bus: MessageBus
@@ -43,6 +63,7 @@ class SimStack:
     transform_publisher: TransformPublisherNode
     params: Params
     safety: Optional[object] = None
+    mapper: Optional[object] = None
 
     def publish_goal(self, x: float, y: float, yaw: float = 0.0):
         self.bus.publish(
@@ -92,6 +113,7 @@ def build_sim_stack(
     noise_seed: int = 0,
     follower_kwargs: Optional[dict] = None,
     safety_stop: Optional[float] = None,
+    map_source: str = "server",
 ) -> SimStack:
     """Assemble the nav-config node graph (launch_all_nav.launch.py) against
     the in-process simulator.
@@ -103,7 +125,12 @@ def build_sim_stack(
     ``safety_stop`` inserts a SafetyMonitorNode (nodes/safety.py) into the
     command chain: the follower publishes to cmd_vel_raw and the monitor
     forwards to cmd_vel, zeroing linear motion whenever the commanded
-    direction has a scan return closer than this distance [m]."""
+    direction has a scan return closer than this distance [m].
+
+    ``map_source="mapper"`` replaces the file map server with the on-device
+    occupancy mapper (nodes/mapper.py): /map starts fully unknown (which the
+    planner treats optimistically as free) and is built live from scans —
+    navigate-while-mapping. The simulated world is still ``map_image``."""
     bus = MessageBus()
     if map_image is None:
         map_image = pgm.synthetic_indoor_map()
@@ -112,11 +139,20 @@ def build_sim_stack(
         bus, map_image, map_info, start_pose=start_pose, params=params,
         noise=noise, noise_seed=noise_seed,
     )
-    map_server = MapServerNode(
-        bus,
-        map_image=planner_map_image if planner_map_image is not None else map_image,
-        map_info=map_info,
-    )
+    mapper = None
+    if map_source == "mapper":
+        from .mapper import MapperNode
+
+        mapper = MapperNode(bus, params, size_m=12.0, resolution=0.05, topic="/map")
+        map_server = _MapperMapSource(mapper)
+    elif map_source == "server":
+        map_server = MapServerNode(
+            bus,
+            map_image=planner_map_image if planner_map_image is not None else map_image,
+            map_info=map_info,
+        )
+    else:
+        raise ValueError(f"unknown map_source {map_source!r}")
     transform_publisher = TransformPublisherNode(bus)
     global_planner = GlobalPathPublisherNode(
         bus, params, use_scan_obstacles=not reference_parity
@@ -155,6 +191,7 @@ def build_sim_stack(
         transform_publisher=transform_publisher,
         params=params,
         safety=safety,
+        mapper=mapper,
     )
 
 

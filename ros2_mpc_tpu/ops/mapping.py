@@ -57,9 +57,13 @@ def logodds_update(
     row = H - 1 - ((py - origin[1]) / resolution).astype(jnp.int32)
     inside = (col >= 0) & (col < W) & (row >= 0) & (row < H)
 
-    # free space strictly before the return; occupied within half a step of it
+    # free space strictly before the return; occupied at the SINGLE sample
+    # nearest the return — a +/-window would thicken every wall by a cell
+    # per side, which after the planner's dilation seals real doorways in
+    # the self-built map (measured: exploration runs stall on it)
     free = ts[None, :] < (r[:, None] - resolution)
-    occ = jnp.abs(ts[None, :] - r[:, None]) <= step
+    end_idx = jnp.clip(jnp.round(r / step).astype(jnp.int32) - 1, 0, n_steps - 1)
+    occ = (jnp.arange(n_steps)[None, :] == end_idx[:, None]) & jnp.isfinite(r)[:, None]
     # each beam stamps a cell at most once per sample; duplicate samples in
     # one cell (adjacent ts landing in the same cell) slightly over-count —
     # the standard grid-mapping approximation, bounded by the l_max clamp

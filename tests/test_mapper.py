@@ -87,3 +87,24 @@ def test_logodds_clamp_keeps_map_revisable():
     # occupancy (unobserved cells sit at exactly p = 0.5 prior)
     assert float(p[wall_cell]) < 0.35, "evidence not revisable"
     assert not bool((p > 0.5).any())
+
+
+@pytest.mark.slow
+def test_navigate_while_mapping():
+    """map_source='mapper': /map starts fully unknown (planner optimism) and
+    is built live from scans; the robot reaches a goal far beyond the lidar
+    horizon, discovering walls on the way — the reference cannot navigate
+    without its pre-built cartographer map at all."""
+    stack = build_sim_stack(
+        follower="point", start_pose=(-1.0, -1.0, 0.0), horizon=12,
+        map_source="mapper",
+    )
+    assert float((stack.mapper.occupancy() == -1).mean()) > 0.95
+    reached, ticks, pose = stack.run_to_goal((3.5, -1.8), max_ticks=500)
+    assert reached, f"not reached after {ticks} ticks, pose={pose}"
+    assert not stack.sim.in_collision()
+    unknown = float((stack.mapper.occupancy() == -1).mean())
+    assert unknown < 0.8, f"nothing was mapped (unknown={unknown:.2f})"
+    # the live /map carries real walls now
+    msg, _ = stack.bus.latest("/map")
+    assert (np.asarray(msg.data) == 100).sum() > 50
