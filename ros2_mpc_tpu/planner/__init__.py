@@ -5,7 +5,7 @@ from .global_planner import (
     astar_path,
     get_points_on_lines,
 )
-from . import wavefront
+from . import frontier, wavefront
 
 __all__ = [
     "AstarGlobalPlanner",
@@ -14,4 +14,5 @@ __all__ = [
     "astar_path",
     "get_points_on_lines",
     "wavefront",
+    "frontier",
 ]
