@@ -114,6 +114,7 @@ def build_sim_stack(
     follower_kwargs: Optional[dict] = None,
     safety_stop: Optional[float] = None,
     map_source: str = "server",
+    mapper_kwargs: Optional[dict] = None,
 ) -> SimStack:
     """Assemble the nav-config node graph (launch_all_nav.launch.py) against
     the in-process simulator.
@@ -143,7 +144,9 @@ def build_sim_stack(
     if map_source == "mapper":
         from .mapper import MapperNode
 
-        mapper = MapperNode(bus, params, size_m=12.0, resolution=0.05, topic="/map")
+        mkw = dict(size_m=12.0, resolution=0.05)
+        mkw.update(mapper_kwargs or {})
+        mapper = MapperNode(bus, params, topic="/map", **mkw)
         map_server = _MapperMapSource(mapper)
     elif map_source == "server":
         map_server = MapServerNode(

@@ -84,3 +84,37 @@ def test_live_graph_navigates_carto_map(carto):
     assert stats["goal_reached"], stats["tasks"]
     ctrl = stats["tasks"]["control"]
     assert ctrl["misses"] <= max(2, 0.1 * ctrl["runs"]), ctrl
+
+
+def test_autonomous_exploration_of_carto_map(carto):
+    """Full autonomy on the reference's own floor plan: from a fully-unknown
+    map and no human goal, the explorer maps tens of square meters of the
+    real cartographer building — crossing at least one doorway — without a
+    single collision, and terminates itself. The reference needs this very
+    map pre-built just to take its first goal."""
+    from ros2_mpc_tpu.nodes.explorer import ExplorerNode
+
+    img, info = carto
+    stack = build_sim_stack(
+        follower="point", start_pose=(1.8, -0.4, 0.0), horizon=12,
+        map_image=img, map_info=info,
+        map_source="mapper",
+        mapper_kwargs=dict(size_m=20.0, origin_xy=(-10.0, -10.0)),
+        safety_stop=0.22,
+    )
+    explorer = ExplorerNode(stack.bus, stack.mapper, stack.params)
+    poses = []
+    complete = False
+    for i in range(2800):
+        if explorer.tick()["status"] == "complete":
+            complete = True
+            break
+        out = stack.tick()
+        poses.append(np.asarray(out["pose"][:2]))
+        assert not stack.sim.in_collision(), f"collided at tick {i}"
+    assert complete, "exploration never terminated"
+    assert explorer.n_goals >= 4
+    known_m2 = float((stack.mapper.occupancy() != -1).mean()) * 20.0 * 20.0
+    assert known_m2 > 40.0, f"only {known_m2:.0f} m^2 mapped"
+    # it really left the starting room (east doorway is at x ~ 3.0)
+    assert max(p[0] for p in poses) > 3.2
