@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import Params
-from ..planner.frontier import cluster_frontiers, frontier_cells
+from ..planner.frontier import frontier_goal_candidates
 from .bus import MessageBus, Pose, PoseStamped, Quaternion
 from .topics import OdomSubscriber
 
@@ -50,23 +50,17 @@ class ExplorerNode:
 
     def _frontier_goals(self, robot_xy) -> list[np.ndarray]:
         """Cluster centroids in world XY, nearest first, exclusions applied."""
-        occ = self.mapper.occupancy()
-        H = occ.shape[0]
-        res = self.mapper.resolution
-        org = self.mapper.origin
-        cands = []
-        for cl in cluster_frontiers(frontier_cells(occ), min_size=self.min_cluster):
-            r, c = cl["centroid"]
-            xy = np.array([org[0] + (c + 0.5) * res, org[1] + (H - 1 - r + 0.5) * res])
-            d = float(np.linalg.norm(xy - robot_xy))
-            if d < self.min_distance:
-                continue
-            if any(
+        cands = frontier_goal_candidates(
+            self.mapper.occupancy(), robot_xy,
+            self.mapper.origin, self.mapper.resolution,
+            min_size=self.min_cluster, min_distance=self.min_distance,
+        )
+        return [
+            xy for xy in cands
+            if not any(
                 np.linalg.norm(xy - a) < self.exclusion_radius for a in self.abandoned
-            ):
-                continue
-            cands.append((d, xy))
-        return [xy for _, xy in sorted(cands, key=lambda t: t[0])]
+            )
+        ]
 
     def _publish_goal(self, xy, robot_xy):
         yaw = float(np.arctan2(xy[1] - robot_xy[1], xy[0] - robot_xy[0]))

@@ -276,7 +276,13 @@ def run_multiprocess(
             p.name for p in procs if p.exitcode not in (None, 0)
         ]
         if "safety" in roles:
-            stats["safety"] = bus.latest(SAFETY_STATUS_TOPIC)[0]
+            hb = bus.latest(SAFETY_STATUS_TOPIC)[0]
+            # None heartbeat = the safety process never came up: the command
+            # chain was severed (nothing forwarded cmd_vel_raw), so say so
+            # instead of handing callers a silent None
+            stats["safety"] = hb if hb is not None else {
+                "blocked": 0, "passed": 0, "heartbeat_missing": True,
+            }
     finally:
         try:
             bus.publish(SHUTDOWN_TOPIC, True)

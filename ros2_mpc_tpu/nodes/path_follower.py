@@ -103,6 +103,7 @@ class PathFollowerNode:
         self.goal_radius = params.tracking_goal_radius if reference_parity else params.goal_threshold
         self.escape_after = escape_after
         self._stall = 0
+        self._stall_goal = None  # stall evidence is per-goal
         self.n_escapes = 0
         if escape_after is not None:
             from ..solver.mppi import MppiSettings, make_multistart_solver
@@ -141,6 +142,12 @@ class PathFollowerNode:
         goal = self.goal_listener.get_goal()
         if goal is None:
             return {"status": "waiting_for_goal"}
+        if self.escape_after is not None:
+            # per-goal stall evidence (see point_follower.py)
+            gk = (round(float(goal[0]), 3), round(float(goal[1]), 3))
+            if gk != self._stall_goal:
+                self._stall_goal = gk
+                self._stall = 0
         scan_data, angles = self.laser_node.get_scan()
         pos, ori = self.odom_node.get_states()
         if scan_data is None or pos is None:

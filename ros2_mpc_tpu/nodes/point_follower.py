@@ -75,6 +75,7 @@ class PointFollowerNode:
         self._solve = jax.jit(solve_packed)
         self.escape_after = escape_after
         self._stall = 0
+        self._stall_goal = None  # stall evidence is per-goal
         self.n_escapes = 0
         if escape_after is not None:
             from ..solver.mppi import MppiSettings, make_multistart_solver
@@ -114,6 +115,13 @@ class PointFollowerNode:
         goal = self.goal_listener.get_goal()
         if goal is None:
             return {"status": "waiting_for_goal"}
+        if self.escape_after is not None:
+            # a stale stall count from a previous (possibly unreachable)
+            # goal must not trigger an escape on the first tick to a new one
+            gk = (round(float(goal[0]), 3), round(float(goal[1]), 3))
+            if gk != self._stall_goal:
+                self._stall_goal = gk
+                self._stall = 0
         scan_data, angles = self.laser_node.get_scan()
         pos, ori = self.odom_node.get_states()
         if scan_data is None or pos is None:

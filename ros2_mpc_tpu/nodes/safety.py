@@ -57,7 +57,11 @@ class SafetyMonitorNode:
         if scan is None:
             return np.inf
         ranges = np.asarray(scan, dtype=float)
-        angles = np.linspace(angle_span[0], angle_span[1], len(ranges))
+        # the codebase-wide beam convention (sim lidar, ops/grid, mapper):
+        # angle_min + i * span / n, endpoint-EXCLUSIVE — an endpoint-
+        # inclusive linspace would skew each beam by up to one spacing
+        n = len(ranges)
+        angles = angle_span[0] + np.arange(n) * (angle_span[1] - angle_span[0]) / n
         heading = 0.0 if v > 0 else np.pi
         d = np.abs((angles - heading + np.pi) % (2 * np.pi) - np.pi)
         arc = ranges[(d <= self.fov_half_angle) & np.isfinite(ranges) & (ranges > 0)]

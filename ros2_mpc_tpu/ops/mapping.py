@@ -53,8 +53,11 @@ def logodds_update(
 
     px = pose[0] + jnp.cos(beams)[:, None] * ts[None, :]  # (B, T)
     py = pose[1] + jnp.sin(beams)[:, None] * ts[None, :]
-    col = ((px - origin[0]) / resolution).astype(jnp.int32)
-    row = H - 1 - ((py - origin[1]) / resolution).astype(jnp.int32)
+    # floor, not int-truncation: points one cell outside the left/bottom
+    # edge would otherwise truncate toward zero, pass the bounds check, and
+    # deposit evidence on border cells
+    col = jnp.floor((px - origin[0]) / resolution).astype(jnp.int32)
+    row = H - 1 - jnp.floor((py - origin[1]) / resolution).astype(jnp.int32)
     inside = (col >= 0) & (col < W) & (row >= 0) & (row < H)
 
     # free space strictly before the return; occupied at the SINGLE sample
@@ -63,7 +66,11 @@ def logodds_update(
     # the self-built map (measured: exploration runs stall on it)
     free = ts[None, :] < (r[:, None] - resolution)
     end_idx = jnp.clip(jnp.round(r / step).astype(jnp.int32) - 1, 0, n_steps - 1)
-    occ = (jnp.arange(n_steps)[None, :] == end_idx[:, None]) & jnp.isfinite(r)[:, None]
+    # a return BEYOND max_range carves free space but must not stamp a
+    # phantom wall at the clipped last sample (a max_range ring around the
+    # robot when the sensor outranges the mapper)
+    hit_in_range = jnp.isfinite(r) & (r <= max_range)
+    occ = (jnp.arange(n_steps)[None, :] == end_idx[:, None]) & hit_in_range[:, None]
     # each beam stamps a cell at most once per sample; duplicate samples in
     # one cell (adjacent ts landing in the same cell) slightly over-count —
     # the standard grid-mapping approximation, bounded by the l_max clamp

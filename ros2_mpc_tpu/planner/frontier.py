@@ -71,6 +71,31 @@ def cluster_frontiers(mask: np.ndarray, min_size: int = 8):
     return out
 
 
+def frontier_goal_candidates(
+    occ: np.ndarray,
+    robot_xy,
+    origin,
+    resolution: float,
+    min_size: int = 8,
+    min_distance: float = 0.5,
+) -> list:
+    """World-XY centroids of every qualifying frontier cluster, nearest
+    first. The single place the grid-to-world conversion lives (row 0 = top,
+    ``origin`` = world coordinates of the bottom-left corner)."""
+    clusters = cluster_frontiers(frontier_cells(occ), min_size=min_size)
+    H = occ.shape[0]
+    cands = []
+    for cl in clusters:
+        r, c = cl["centroid"]
+        x = origin[0] + (c + 0.5) * resolution
+        y = origin[1] + (H - 1 - r + 0.5) * resolution
+        d = float(np.hypot(x - robot_xy[0], y - robot_xy[1]))
+        if d >= min_distance:
+            cands.append((d, np.array([x, y])))
+    cands.sort(key=lambda t: t[0])
+    return [xy for _, xy in cands]
+
+
 def pick_frontier_goal(
     occ: np.ndarray,
     robot_xy,
@@ -80,20 +105,8 @@ def pick_frontier_goal(
     min_distance: float = 0.5,
 ) -> Optional[np.ndarray]:
     """World-XY of the nearest frontier-cluster centroid at least
-    ``min_distance`` away, or ``None`` when no frontier remains (done).
-
-    Grid convention matches the mapper: row 0 = top, ``origin`` = world
-    coordinates of the bottom-left corner."""
-    clusters = cluster_frontiers(frontier_cells(occ), min_size=min_size)
-    if not clusters:
-        return None
-    H = occ.shape[0]
-    best, best_d = None, np.inf
-    for cl in clusters:
-        r, c = cl["centroid"]
-        x = origin[0] + (c + 0.5) * resolution
-        y = origin[1] + (H - 1 - r + 0.5) * resolution
-        d = float(np.hypot(x - robot_xy[0], y - robot_xy[1]))
-        if min_distance <= d < best_d:
-            best, best_d = np.array([x, y]), d
-    return best
+    ``min_distance`` away, or ``None`` when no frontier remains (done)."""
+    cands = frontier_goal_candidates(
+        occ, robot_xy, origin, resolution, min_size=min_size, min_distance=min_distance
+    )
+    return cands[0] if cands else None
