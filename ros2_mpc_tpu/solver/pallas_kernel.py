@@ -71,6 +71,7 @@ def make_pallas_point_stab_solver(
     tile_s: int = TILE_S,
     tile_l: int = TILE_L,
     stage_tol: float = 1e-10,
+    with_counters: bool = False,
 ):
     """Build ``solve_bank(thetas, U0s) -> Solution`` (B-leading, B % 1024 == 0).
 
@@ -84,6 +85,14 @@ def make_pallas_point_stab_solver(
     barrier stage (never on a stage's first iteration), the stage's remaining
     iterations are skipped. At 1e-10 the skipped steps move U by ~1e-5 —
     inside the engines' mutual 1e-4 parity band (tests/test_pallas.py).
+
+    ``Solution.n_iters`` reports the iterations each scenario's tile actually
+    executed (early exit skips count as not executed). With
+    ``with_counters=True`` the solver returns ``(Solution, counters)`` where
+    ``counters = {"iters": (B,), "ls_rollouts": (B,)}`` — the executed
+    solver-iteration and line-search-candidate-rollout counts per scenario's
+    tile, the inputs to the roofline FLOP accounting
+    (:mod:`ros2_mpc_tpu.utils.roofline`).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -115,6 +124,8 @@ def make_pallas_point_stab_solver(
         x_out,  # (N+1, 3, S, L)
         cost_out,  # (S, L)
         kkt_out,  # (S, L)
+        iters_out,  # (S, L): executed solver iterations (tile-wide, f32)
+        lsro_out,  # (S, L): executed line-search candidate rollouts (f32)
         X_scr,  # VMEM (N+1, 3, S, L)
         U_scr,  # VMEM (N, 2, S, L)
         kff_scr,  # VMEM (N, 2, S, L)
@@ -123,6 +134,7 @@ def make_pallas_point_stab_solver(
         acc_scr,  # VMEM (S, L): per-scenario line-search acceptance mask
         reg_scr,  # VMEM (S, L): Levenberg regularizer (carried across iters)
         done_ref,  # SMEM (1,): number of barrier stages fully converged
+        cnt_ref,  # SMEM (2,): [executed iterations, executed LS rollouts]
     ):
         # blocks carry a leading tile dim of 1
         px0, py0, th0 = x0g_ref[0, 0], x0g_ref[0, 1], x0g_ref[0, 2]
@@ -277,6 +289,7 @@ def make_pallas_point_stab_solver(
             return jax.lax.fori_loop(0, N, body, jnp.zeros_like(px0))
 
         def run_iteration(t):
+            cnt_ref[0] = cnt_ref[0] + 1
             reg = reg_scr[...]
             mu = mu_ref[t]
             J = rollout_cost(mu)
@@ -435,6 +448,7 @@ def make_pallas_point_stab_solver(
                 # candidate is rejected keep stale values in Ubest — they are
                 # either overwritten by the next alpha (take still true) or
                 # masked out by `commit` (acc_mask false), never read.
+                cnt_ref[1] = cnt_ref[1] + 1
                 accepted = acc_scr[...]
                 px, py, th = px0, py0, th0
 
@@ -498,6 +512,8 @@ def make_pallas_point_stab_solver(
 
         reg_scr[...] = jnp.full(px0.shape, settings.reg_init, dtype=jnp.float32)
         done_ref[0] = 0
+        cnt_ref[0] = 0
+        cnt_ref[1] = 0
 
         def one_iteration(t, carry):
             @pl.when(done_ref[0] <= stage_iref[t])
@@ -570,6 +586,9 @@ def make_pallas_point_stab_solver(
         x_out[0, N, 2] = X_scr[N, 2]
         cost_out[0] = Jtrue
         kkt_out[0] = kkt
+        zero_sl = jnp.zeros_like(px0)
+        iters_out[0] = zero_sl + cnt_ref[0].astype(jnp.float32)
+        lsro_out[0] = zero_sl + cnt_ref[1].astype(jnp.float32)
 
     tile = tile_s * tile_l
 
@@ -619,11 +638,13 @@ def make_pallas_point_stab_solver(
             jax.ShapeDtypeStruct((n_tiles, N + 1, 3, tile_s, tile_l), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
         )
         bspec = lambda *shape: pl.BlockSpec(
             (1,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
         )
-        U_t, X_t, J_t, kkt_t = pl.pallas_call(
+        U_t, X_t, J_t, kkt_t, it_t, ls_t = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -640,6 +661,8 @@ def make_pallas_point_stab_solver(
                 bspec(N + 1, 3, tile_s, tile_l),
                 bspec(tile_s, tile_l),
                 bspec(tile_s, tile_l),
+                bspec(tile_s, tile_l),
+                bspec(tile_s, tile_l),
             ),
             out_shape=out_shape,
             scratch_shapes=[
@@ -651,6 +674,7 @@ def make_pallas_point_stab_solver(
                 pltpu.VMEM((tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((tile_s, tile_l), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
             ],
             interpret=interpret,
         )(jnp.asarray(mus), jnp.asarray(stage_idx), jnp.asarray(first_idx), x0g, wts, obs, u0)
@@ -664,15 +688,19 @@ def make_pallas_point_stab_solver(
         X = unpack(X_t)
         J = unpack(J_t)
         kkt = unpack(kkt_t)
-        return Solution(
+        iters = unpack(it_t).astype(jnp.int32)
+        sol = Solution(
             U=U,
             X=X,
             cost=J,
             kkt_residual=kkt,
             converged=kkt < settings.kkt_tol,
-            n_iters=jnp.full((B,), n_iters, dtype=jnp.int32),
+            n_iters=iters,
             reg=jnp.zeros((B,)),
         )
+        if with_counters:
+            return sol, {"iters": iters, "ls_rollouts": unpack(ls_t).astype(jnp.int32)}
+        return sol
 
     return solve_bank
 
@@ -685,6 +713,7 @@ def make_pallas_tracking_solver(
     tile_s: int = TILE_S,
     tile_l: int = TILE_L,
     stage_tol: float = 1e-10,
+    with_counters: bool = False,
 ):
     """Whole-solver Pallas kernel for the trajectory-tracking formulation
     (make_tracking): Euler transition (quirk #3), time-varying x/u references
@@ -721,6 +750,8 @@ def make_pallas_tracking_solver(
         x_out,
         cost_out,
         kkt_out,
+        iters_out,
+        lsro_out,
         X_scr,
         U_scr,
         kff_scr,
@@ -729,6 +760,7 @@ def make_pallas_tracking_solver(
         acc_scr,
         reg_scr,
         done_ref,
+        cnt_ref,
     ):
         px0, py0, th0 = x0_ref[0, 0], x0_ref[0, 1], x0_ref[0, 2]
         Q0, Q1, Q2 = w_ref[0, 0], w_ref[0, 1], w_ref[0, 2]
@@ -857,6 +889,7 @@ def make_pallas_tracking_solver(
             return acc + obstacle_value(X_scr[N, 0], X_scr[N, 1])
 
         def run_iteration(t):
+            cnt_ref[0] = cnt_ref[0] + 1
             reg = reg_scr[...]
             mu = mu_ref[t]
             J = rollout_cost(mu)
@@ -998,6 +1031,7 @@ def make_pallas_tracking_solver(
             acc_scr[...] = jnp.zeros_like(px0)
 
             def try_alpha(J, alpha):
+                cnt_ref[1] = cnt_ref[1] + 1
                 accepted = acc_scr[...]
                 px, py, th = px0, py0, th0
 
@@ -1053,6 +1087,8 @@ def make_pallas_tracking_solver(
 
         reg_scr[...] = jnp.full(px0.shape, settings.reg_init, dtype=jnp.float32)
         done_ref[0] = 0
+        cnt_ref[0] = 0
+        cnt_ref[1] = 0
 
         def one_iteration(t, carry):
             @pl.when(done_ref[0] <= stage_iref[t])
@@ -1134,6 +1170,9 @@ def make_pallas_tracking_solver(
         x_out[0, N, 2] = X_scr[N, 2]
         cost_out[0] = Jtrue
         kkt_out[0] = kkt
+        zero_sl = jnp.zeros_like(px0)
+        iters_out[0] = zero_sl + cnt_ref[0].astype(jnp.float32)
+        lsro_out[0] = zero_sl + cnt_ref[1].astype(jnp.float32)
 
     tile = tile_s * tile_l
 
@@ -1174,11 +1213,13 @@ def make_pallas_tracking_solver(
             jax.ShapeDtypeStruct((n_tiles, N + 1, 3, tile_s, tile_l), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_s, tile_l), jnp.float32),
         )
         bspec = lambda *shape: pl.BlockSpec(
             (1,) + shape, lambda i: (i,) + (0,) * len(shape), memory_space=pltpu.VMEM
         )
-        U_t, X_t, J_t, kkt_t = pl.pallas_call(
+        U_t, X_t, J_t, kkt_t, it_t, ls_t = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -1197,6 +1238,8 @@ def make_pallas_tracking_solver(
                 bspec(N + 1, 3, tile_s, tile_l),
                 bspec(tile_s, tile_l),
                 bspec(tile_s, tile_l),
+                bspec(tile_s, tile_l),
+                bspec(tile_s, tile_l),
             ),
             out_shape=out_shape,
             scratch_shapes=[
@@ -1208,6 +1251,7 @@ def make_pallas_tracking_solver(
                 pltpu.VMEM((tile_s, tile_l), jnp.float32),
                 pltpu.VMEM((tile_s, tile_l), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
             ],
             interpret=interpret,
         )(
@@ -1228,14 +1272,18 @@ def make_pallas_tracking_solver(
             return jnp.moveaxis(flat, -1, 0)
 
         kkt = unpack(kkt_t)
-        return Solution(
+        iters = unpack(it_t).astype(jnp.int32)
+        sol = Solution(
             U=unpack(U_t),
             X=unpack(X_t),
             cost=unpack(J_t),
             kkt_residual=kkt,
             converged=kkt < settings.kkt_tol,
-            n_iters=jnp.full((B,), n_iters, dtype=jnp.int32),
+            n_iters=iters,
             reg=jnp.zeros((B,)),
         )
+        if with_counters:
+            return sol, {"iters": iters, "ls_rollouts": unpack(ls_t).astype(jnp.int32)}
+        return sol
 
     return solve_bank
