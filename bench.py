@@ -357,6 +357,42 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"swarm bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # --- Tracking fleet (the reference's flagship path-following loop,
+    # scripts/path_follower_local_planner.py:134-223, at fleet scale): 1024
+    # robots each following its own arc path, reference windows regenerated
+    # on device every tick, Pallas tracking kernel, corrected parking mode.
+    try:
+        from ros2_mpc_tpu.parallel import arc_path_fleet, make_tracking_fleet_rollout
+        from ros2_mpc_tpu.solver import make_tracking as _mk_trk
+
+        prob_tf = _mk_trk(
+            params,
+            horizon=N_HORIZON,
+            reference_parity=False,
+            settings=SolverSettings.realtime(),
+            terminal_weight=(10.0, 10.0, 1.0),
+        )
+        B_tf, T_tf = 1024, 64
+        thetas_tf, paths_tf, U0_tf = arc_path_fleet(prob_tf, B_tf, n_waypoints=64, seed=0)
+        roll_tf = make_tracking_fleet_rollout(
+            prob_tf, n_ticks=T_tf, dt=params.dt, goal_threshold=0.25, engine="pallas"
+        )
+        out_tf = roll_tf(thetas_tf, paths_tf, U0_tf)
+        jax.block_until_ready(out_tf.final_states)
+        ttf = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(roll_tf(thetas_tf, paths_tf, U0_tf).final_states)
+            ttf.append(time.perf_counter() - t0)
+        secondary["tracking_fleet_robot_ticks_per_s"] = round(B_tf * T_tf / min(ttf), 1)
+        secondary["tracking_fleet_tick_ms"] = round(min(ttf) / T_tf * 1e3, 3)
+        secondary["tracking_fleet_reach_frac"] = round(float(out_tf.reach_fraction), 4)
+        secondary["tracking_fleet_mean_cross_track_m"] = round(
+            float(out_tf.mean_cross_track), 4
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"tracking fleet bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # --- Packed single-tick (one H2D transfer, the live follower path).
     try:
         from ros2_mpc_tpu.solver.packed import make_packed_point_stab

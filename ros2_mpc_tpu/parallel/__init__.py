@@ -7,12 +7,15 @@ from .mesh import (
     shard_bank,
 )
 from .fleet import (
+    arc_path_fleet,
     circle_swarm,
     grid_swap_swarm,
     make_fleet_rollout,
     make_sharded_fleet_rollout,
     make_sharded_swarm_rollout,
+    make_sharded_tracking_fleet_rollout,
     make_swarm_rollout,
+    make_tracking_fleet_rollout,
     random_fleet,
 )
 from .sweep import SweepSpec, build_sweep_thetas, run_sweep
@@ -25,12 +28,15 @@ __all__ = [
     "make_host_chip_mesh",
     "make_mesh",
     "shard_bank",
+    "arc_path_fleet",
     "circle_swarm",
     "grid_swap_swarm",
     "make_fleet_rollout",
     "make_sharded_fleet_rollout",
     "make_sharded_swarm_rollout",
+    "make_sharded_tracking_fleet_rollout",
     "make_swarm_rollout",
+    "make_tracking_fleet_rollout",
     "random_fleet",
     "SweepSpec",
     "build_sweep_thetas",

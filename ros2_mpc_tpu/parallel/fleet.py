@@ -34,38 +34,44 @@ class FleetResult(NamedTuple):
     trajectories: Optional[jnp.ndarray]  # (T+1, B, 3) when record=True
 
 
-def _make_batched_solve(problem, engine: str, interpret_default=False, **engine_opts):
+def _make_batched_solve(
+    problem, engine: str, interpret_default=False, allow_tracking=False, **engine_opts
+):
     """Scenario-bank solve for the fleet tick.
 
-    Point-stabilization banks only: the fleet's goal field drives each robot,
-    so tracking problems (time-varying references) are rejected rather than
-    silently solved with the point-stabilization kernel. ``interpret_default``
-    controls whether the Pallas kernel falls back to interpreter mode off-TPU
-    (the sharded CPU-mesh path wants that; the plain rollout must *fail*
-    off-TPU so callers like solver.packed.device_tick_rate can fall back to
-    the vmap engine instead of an interpreter-speed kernel)."""
+    The goal-driven fleet/swarm rollouts take point-stabilization banks; the
+    tracking fleet (:func:`make_tracking_fleet_rollout`) passes
+    ``allow_tracking=True`` and routes tracking problems to the tracking
+    kernels. ``interpret_default`` controls whether the Pallas kernel falls
+    back to interpreter mode off-TPU (the sharded CPU-mesh path wants that;
+    the plain rollout must *fail* off-TPU so callers like
+    solver.packed.device_tick_rate can fall back to the vmap engine instead
+    of an interpreter-speed kernel)."""
     kind = getattr(problem, "kind", "point_stabilization")
-    if kind not in ("point_stabilization", "legacy"):
+    allowed = ("point_stabilization", "legacy") + (("tracking",) if allow_tracking else ())
+    if kind not in allowed:
+        hint = (
+            "use make_tracking_fleet_rollout for tracking problems (per-robot "
+            "reference windows advancing along per-robot paths)"
+            if kind == "tracking"
+            else "model-generic problem families need the vmap engine nodes"
+        )
         raise ValueError(
-            "fleet rollouts are unicycle point-stabilization only (the goal "
-            "field drives each robot and the plant integrates the reference "
-            f"unicycle); got a {kind!r} problem"
+            f"this fleet rollout takes {allowed} problems; got {kind!r} — {hint}"
         )
     if engine == "fast":
         from ..solver.batched import make_bank_solver_fast
 
         return make_bank_solver_fast(problem.ocp, problem.settings, **engine_opts)
     if engine == "pallas":
-        from ..solver.pallas_kernel import make_pallas_point_stab_solver
+        from ..solver.pallas_kernel import (
+            make_pallas_point_stab_solver,
+            make_pallas_tracking_solver,
+        )
 
-        if "terminal_cost" in getattr(problem, "tags", ()):
-            raise ValueError(
-                "engine='pallas' hard-codes the parity structure (zero "
-                "terminal weight); use engine='vmap' or 'fast' for problems "
-                "built with a nonzero terminal_weight"
-            )
         engine_opts.setdefault("interpret", interpret_default)
-        return make_pallas_point_stab_solver(problem.ocp, problem.settings, **engine_opts)
+        maker = make_pallas_tracking_solver if kind == "tracking" else make_pallas_point_stab_solver
+        return maker(problem.ocp, problem.settings, **engine_opts)
     if engine_opts:
         raise ValueError(
             f"engine='vmap' takes no engine_opts, got {sorted(engine_opts)}"
@@ -201,6 +207,290 @@ def make_sharded_fleet_rollout(
         return _fleet_summary(xs, traj, thetas, goal_threshold)
 
     return jax.jit(rollout, in_shardings=(shard, shard))
+
+
+class TrackingFleetResult(NamedTuple):
+    final_states: jnp.ndarray  # (B, 3)
+    goal_dist: jnp.ndarray  # (B,) final distance to the path's last waypoint
+    reach_fraction: jnp.ndarray  # scalar: goal_dist < threshold
+    mean_cross_track: jnp.ndarray  # scalar: mean over robots+ticks of the
+    #   distance to the nearest waypoint (the tracking-quality number)
+    max_cross_track: jnp.ndarray  # scalar: worst excursion anywhere
+    trajectories: Optional[jnp.ndarray]  # (T+1, B, 3) when record=True
+
+
+def _tracking_window(pos, goal, wps, yaw, speed, omega, horizon):
+    """Per-robot reference window, in-jit — the fleet-scale twin of
+    nodes/reference_gen.py::tracking_reference_window (reference semantics:
+    scripts/path_follower_local_planner.py:26-73):
+
+    * anchor at the waypoint nearest the robot;
+    * within 0.5 m of the final waypoint the state reference collapses to
+      ``horizon`` copies of the goal pose (terminal latch);
+    * windows running past the end hold the final sample.
+
+    One corrected-mode deviation: inside the terminal latch the *velocity*
+    reference is zeroed as well, so the MPC brakes and parks. The reference
+    keeps commanding the window's profile speed there
+    (path_follower_local_planner.py:61-66) and relies on its hardcoded
+    0.15 m node latch to catch the fly-by — a robot that misses it drives
+    straight through the goal (the ROADMAP goal-orbiting family).
+
+    Returns ``(x_ref (N,3), u_ref (N,2), cross_track)``."""
+    d2 = jnp.sum((wps - pos[None, :]) ** 2, axis=1)
+    anchor = jnp.argmin(d2)
+    rows = jnp.minimum(anchor + jnp.arange(horizon), wps.shape[0] - 1)
+    near_end = jnp.sum((pos - wps[-1]) ** 2) < 0.25  # 0.5 m terminal latch
+    xr_path = jnp.concatenate([wps[rows], yaw[rows][:, None]], axis=1)
+    x_ref = jnp.where(near_end, jnp.broadcast_to(goal, (horizon, 3)), xr_path)
+    u_ref = jnp.where(near_end, 0.0, jnp.stack([speed[rows], omega[rows]], axis=1))
+    return x_ref, u_ref, jnp.sqrt(d2[anchor])
+
+
+def _make_tracking_rollout_body(
+    problem,
+    n_ticks,
+    dt,
+    record,
+    engine,
+    interpret_default=False,
+    latch_radius=0.15,
+    **engine_opts,
+):
+    """Per-shard tracking closed loop: every tick regenerates each robot's
+    reference window from its own path (nearest-point anchor advancing as the
+    robot moves), solves the tracking bank, actuates the first control, and
+    shifts the warm start. Within ``latch_radius`` of the path end the robot
+    latches to zero velocity — the reference node's hardcoded 0.15 m goal
+    latch (path_follower_local_planner.py:205-219, quirk #9); without it the
+    u_ref pull drives robots straight through their goals. All outputs
+    B-leading."""
+    if getattr(problem, "kind", None) != "tracking":
+        raise ValueError(
+            "make_tracking_fleet_rollout takes a tracking problem "
+            "(solver.problems.make_tracking); goal-driven banks go to "
+            "make_fleet_rollout"
+        )
+    batched_solve = _make_batched_solve(
+        problem,
+        engine,
+        interpret_default=interpret_default,
+        allow_tracking=True,
+        **engine_opts,
+    )
+    N = problem.ocp.horizon
+
+    def plant(x, u):
+        return rk4_step(unicycle.f, x, u, dt)
+
+    def body(thetas, paths, U0s):
+        x0s = thetas["x0"]
+        goals = jnp.concatenate(
+            [paths["wps"][:, -1], paths["yaw"][:, -1:]], axis=1
+        )  # (B, 3): path end pose
+
+        def tick(carry, _):
+            xs, warm, latched, ct_sum, ct_max = carry
+            x_ref, u_ref, ct = jax.vmap(
+                lambda x, g, w, y, s, o: _tracking_window(x[:2], g, w, y, s, o, N)
+            )(xs, goals, paths["wps"], paths["yaw"], paths["speed"], paths["omega"])
+            th = dict(thetas)
+            th["x0"] = xs
+            th["x_ref"] = x_ref
+            th["u_ref"] = u_ref
+            sols = batched_solve(th, warm)
+            u0 = sols.U[:, 0]
+            u0 = jnp.where(jnp.isfinite(u0), u0, 0.0)
+            # sticky goal latch (quirk #9): stop inside latch_radius for good
+            latched = jnp.logical_or(
+                latched,
+                jnp.sum((xs[:, :2] - goals[:, :2]) ** 2, axis=1) < latch_radius**2,
+            )
+            u0 = jnp.where(latched[:, None], 0.0, u0)
+            xs_next = jax.vmap(plant)(xs, u0)
+            warm_next = jax.vmap(shift_controls)(sols.U)
+            return (
+                (xs_next, warm_next, latched, ct_sum + ct, jnp.maximum(ct_max, ct)),
+                xs_next if record else None,
+            )
+
+        zeros = jnp.zeros(x0s.shape[0])
+        (xs, _, _, ct_sum, ct_max), traj = jax.lax.scan(
+            tick,
+            (x0s, U0s, jnp.zeros(x0s.shape[0], dtype=bool), zeros, zeros),
+            None,
+            length=n_ticks,
+        )
+        if record:
+            traj = jnp.concatenate([x0s[None], traj], axis=0)
+        return xs, ct_sum / n_ticks, ct_max, goals, traj
+
+    return body
+
+
+def _tracking_summary(xs, ct_mean, ct_max, goals, traj, goal_threshold):
+    goal_dist = jnp.linalg.norm(xs[:, :2] - goals[:, :2], axis=-1)
+    return TrackingFleetResult(
+        final_states=xs,
+        goal_dist=goal_dist,
+        reach_fraction=jnp.mean((goal_dist < goal_threshold).astype(jnp.float32)),
+        mean_cross_track=jnp.mean(ct_mean),
+        max_cross_track=jnp.max(ct_max),
+        trajectories=traj,
+    )
+
+
+def make_tracking_fleet_rollout(
+    problem,
+    n_ticks: int,
+    dt: float,
+    goal_threshold: float = 0.2,
+    record: bool = False,
+    engine: str = "vmap",
+    **engine_opts,
+):
+    """Closed-loop *tracking* fleet under one jit: the fleet-scale evaluator
+    for the reference's flagship loop (path following,
+    scripts/path_follower_local_planner.py:134-223). Each robot carries its
+    own path; every control tick the reference window is regenerated on
+    device (nearest-waypoint anchor, 0.5 m terminal latch, clamped windows),
+    the tracking bank solves, and the first control drives an RK4 plant
+    (the solver's Euler shooting vs the RK4 truth is the same model mismatch
+    the live node sees).
+
+    ``rollout(thetas, paths, U0s) -> TrackingFleetResult`` where ``paths`` is
+    a dict of B-leading arrays ``wps (B,P,2)``, ``yaw (B,P)``, ``speed
+    (B,P)``, ``omega (B,P)`` (see :func:`arc_path_fleet`). ``engine``:
+    'vmap' | 'fast' | 'pallas' (the tracking kernel). ``latch_radius=``
+    (default 0.15, the reference's hardcoded goal latch) is accepted among
+    the engine opts."""
+    body = _make_tracking_rollout_body(problem, n_ticks, dt, record, engine, **engine_opts)
+
+    def rollout(thetas, paths, U0s):
+        xs, ct_mean, ct_max, goals, traj = body(thetas, paths, U0s)
+        return _tracking_summary(xs, ct_mean, ct_max, goals, traj, goal_threshold)
+
+    return jax.jit(rollout)
+
+
+def make_sharded_tracking_fleet_rollout(
+    problem,
+    mesh,
+    n_ticks: int,
+    dt: float,
+    goal_threshold: float = 0.2,
+    record: bool = False,
+    engine: str = "vmap",
+    **engine_opts,
+):
+    """The tracking fleet sharded over a device mesh — robots are independent
+    (each follows its own path), so each device runs the whole closed loop on
+    its local shard and only the fleet statistics reduce across the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis_names = tuple(mesh.axis_names)
+    batch_spec = P(axis_names)
+    shard = NamedSharding(mesh, batch_spec)
+
+    body = _make_tracking_rollout_body(
+        problem,
+        n_ticks,
+        dt,
+        record,
+        engine,
+        interpret_default=jax.default_backend() != "tpu",
+        **engine_opts,
+    )
+
+    def per_shard(thetas, paths, U0s):
+        xs, ct_mean, ct_max, goals, traj = body(thetas, paths, U0s)
+        if record:
+            return xs, ct_mean, ct_max, goals, traj
+        return xs, ct_mean, ct_max, goals
+
+    out_specs = (
+        (batch_spec, batch_spec, batch_spec, batch_spec, P(None, *axis_names))
+        if record
+        else (batch_spec, batch_spec, batch_spec, batch_spec)
+    )
+    sharded_body = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(batch_spec, batch_spec, batch_spec),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    def rollout(thetas, paths, U0s):
+        out = sharded_body(thetas, paths, U0s)
+        xs, ct_mean, ct_max, goals = out[0], out[1], out[2], out[3]
+        traj = out[4] if record else None
+        return _tracking_summary(xs, ct_mean, ct_max, goals, traj, goal_threshold)
+
+    return jax.jit(rollout, in_shardings=(shard, shard, shard))
+
+
+def arc_path_fleet(
+    problem,
+    B: int,
+    n_waypoints: int = 64,
+    seed: int = 0,
+    start_jitter: float = 0.05,
+):
+    """A (theta bank, path bank, warm start) for the tracking fleet: B
+    constant-curvature arc paths with the reference's motion-profile
+    contract (nodes/reference_gen.py::path_motion_profile — speed is segment
+    length / dt *doubled*, turn-rate is the yaw difference *halved*,
+    path_follower_local_planner.py:14-23). Waypoint spacing is chosen so the
+    doubled profile speed lands inside the tracking velocity bounds. Robots
+    start near (not on) their path with heading error, so the rollout
+    exercises acquisition as well as following."""
+    rng = np.random.default_rng(seed)
+    dt_probe = problem.ocp.transition(np.zeros(3), np.array([0.0, 1.0]))[2]
+    dt = float(dt_probe)
+    v_hi = float(problem.ocp.u_hi[0])
+    P = n_waypoints
+    # nominal path speed: the doubled parity profile must stay within bounds
+    v_nom = rng.uniform(0.3 * v_hi, 0.5 * v_hi, size=(B, 1))
+    ds = v_nom * dt  # -> profile speed = 2 * v_nom in [0.6, 1.0] * v_hi
+    kappa = rng.uniform(-0.6, 0.6, size=(B, 1))  # 1/m curvature
+    yaw0 = rng.uniform(-np.pi, np.pi, size=(B, 1))
+    s = np.arange(P)[None, :] * ds  # (B, P) arclength
+    heading = yaw0 + kappa * s
+    # unicycle arc: integrate heading along arclength (exact for constant ds)
+    wx = np.cumsum(np.cos(heading) * ds, axis=1) - np.cos(heading[:, :1]) * ds
+    wy = np.cumsum(np.sin(heading) * ds, axis=1) - np.sin(heading[:, :1]) * ds
+    start = rng.uniform(-1.0, 1.0, size=(B, 2))
+    wps = np.stack([wx + start[:, :1], wy + start[:, 1:]], axis=2)  # (B, P, 2)
+
+    # parity motion profile (vectorized path_motion_profile)
+    steps = np.diff(wps, axis=1)
+    yaw = np.arctan2(steps[..., 1], steps[..., 0])
+    yaw = np.concatenate([yaw, yaw[:, -1:]], axis=1)  # (B, P)
+    omega = np.diff(yaw, axis=1) / 2.0
+    omega = np.concatenate([omega, omega[:, -1:]], axis=1)  # clamped tail
+    speed = np.hypot(steps[..., 0], steps[..., 1]) / dt * 2.0
+    speed = np.concatenate([speed, speed[:, -1:]], axis=1)
+
+    x0 = np.concatenate(
+        [
+            wps[:, 0] + rng.uniform(-start_jitter, start_jitter, size=(B, 2)),
+            yaw[:, :1] + rng.uniform(-0.4, 0.4, size=(B, 1)),
+        ],
+        axis=1,
+    )
+    N = problem.ocp.horizon
+    thetas = jax.vmap(problem.make_theta)(
+        jnp.asarray(x0), jnp.zeros((B, N, 3)), jnp.zeros((B, N, 2))
+    )
+    paths = {
+        "wps": jnp.asarray(wps, dtype=jnp.float32),
+        "yaw": jnp.asarray(yaw, dtype=jnp.float32),
+        "speed": jnp.asarray(speed, dtype=jnp.float32),
+        "omega": jnp.asarray(omega, dtype=jnp.float32),
+    }
+    U0 = jnp.zeros((B, N, 2))
+    return thetas, paths, U0
 
 
 class SwarmResult(NamedTuple):

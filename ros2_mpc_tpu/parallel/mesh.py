@@ -129,12 +129,6 @@ def make_bank_solver(
             make_pallas_tracking_solver,
         )
 
-        if "terminal_cost" in getattr(problem, "tags", ()):
-            raise ValueError(
-                "engine='pallas' hard-codes the parity tracking structure "
-                "(zero terminal weight); use engine='vmap' or 'fast' for "
-                "problems built with a nonzero terminal_weight"
-            )
         engine_opts.setdefault("interpret", jax.default_backend() != "tpu")
         if getattr(problem, "kind", "point_stabilization") == "tracking":
             batched = make_pallas_tracking_solver(

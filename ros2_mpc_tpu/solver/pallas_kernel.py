@@ -718,8 +718,10 @@ def make_pallas_tracking_solver(
     """Whole-solver Pallas kernel for the trajectory-tracking formulation
     (make_tracking): Euler transition (quirk #3), time-varying x/u references
     (quirk #4 indexing handled by the theta builder), Gaussian obstacle term
-    (weighted; 0 under parity), reverse penalty, log-barrier bounds. Same
-    tile layout and algorithm as the point-stabilization kernel."""
+    (weighted; 0 under parity), reverse penalty, optional terminal pose
+    quadratic ``||x_N - x_ref[N-1]||^2_W`` (the corrected parking mode;
+    zero weights reproduce parity exactly), log-barrier bounds. Same tile
+    layout and algorithm as the point-stabilization kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -743,7 +745,7 @@ def make_pallas_tracking_solver(
         x0_ref,  # (3, S, L)
         xref_ref,  # (N, 3, S, L)
         uref_ref,  # (N, 2, S, L)
-        w_ref,  # (8, S, L): Q0,Q1,Q2,R0,R1,rf, ow*gain, inv_ir2
+        w_ref,  # (11, S, L): Q0,Q1,Q2,R0,R1,rf, ow*gain, inv_ir2, TW0,TW1,TW2
         obs_ref,  # (2, n_obs, S, L)
         u0_ref,  # (N, 2, S, L)
         u_out,
@@ -768,6 +770,7 @@ def make_pallas_tracking_solver(
         rf = w_ref[0, 5]
         ow = w_ref[0, 6]
         inv_ir2 = w_ref[0, 7]
+        TW0, TW1, TW2 = w_ref[0, 8], w_ref[0, 9], w_ref[0, 10]
         obs_x_all = obs_ref[0, 0]
         obs_y_all = obs_ref[0, 1]
         # dynamic obstacle skip + live-prefix chunking — see the
@@ -840,6 +843,14 @@ def make_pallas_tracking_solver(
 
             return jax.lax.cond(has_obs, live, lambda: jnp.zeros_like(px))
 
+        def terminal_quad(px, py, th):
+            # optional terminal pose cost ||x_N - x_ref[N-1]||^2_W (zero W
+            # under parity — reference quirk #5: no terminal state cost)
+            ex = px - xref_ref[0, N - 1, 0]
+            ey = py - xref_ref[0, N - 1, 1]
+            eth = th - xref_ref[0, N - 1, 2]
+            return TW0 * ex * ex + TW1 * ey * ey + TW2 * eth * eth
+
         def stage_cost(k, px, py, th, v, w, mu):
             ex = px - xref_ref[0, k, 0]
             ey = py - xref_ref[0, k, 1]
@@ -886,7 +897,12 @@ def make_pallas_tracking_solver(
 
             acc = jax.lax.fori_loop(0, N, body, jnp.zeros_like(px0))
             # terminal obstacle term (the tracking OCP's stage-N cost)
-            return acc + obstacle_value(X_scr[N, 0], X_scr[N, 1])
+            # + the optional terminal pose quadratic
+            return (
+                acc
+                + obstacle_value(X_scr[N, 0], X_scr[N, 1])
+                + terminal_quad(X_scr[N, 0], X_scr[N, 1], X_scr[N, 2])
+            )
 
         def run_iteration(t):
             cnt_ref[0] = cnt_ref[0] + 1
@@ -1009,7 +1025,24 @@ def make_pallas_tracking_solver(
 
             zero = jnp.zeros_like(px0)
             _, tgx, tgy, thxx, thxy, thyy = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
-            init = (tgx, tgy, zero, thxx, thxy, zero, thyy, zero, zero, zero, zero)
+            # terminal quadratic's gradient/Hessian (diagonal W) folds into
+            # the value-function seed alongside the obstacle terms
+            texN = X_scr[N, 0] - xref_ref[0, N - 1, 0]
+            teyN = X_scr[N, 1] - xref_ref[0, N - 1, 1]
+            tethN = X_scr[N, 2] - xref_ref[0, N - 1, 2]
+            init = (
+                tgx + 2.0 * TW0 * texN,
+                tgy + 2.0 * TW1 * teyN,
+                2.0 * TW2 * tethN,
+                thxx + 2.0 * TW0,
+                thxy,
+                zero,
+                thyy + 2.0 * TW1,
+                zero,
+                2.0 * TW2 + zero,
+                zero,
+                zero,
+            )
             (_, _, _, _, _, _, _, _, _, dV1, dV2) = jax.lax.fori_loop(0, N, bwd, init)
 
             # Stage-level early exit (see the point-stabilization kernel).
@@ -1054,8 +1087,8 @@ def make_pallas_tracking_solver(
                     nx, ny, nth = F(px, py, th, v, w)
                     return nx, ny, nth, acc
 
-                cx, cy, _, Jc = jax.lax.fori_loop(0, N, fbody, (px, py, th, jnp.zeros_like(px0)))
-                Jc = Jc + obstacle_value(cx, cy)
+                cx, cy, cth, Jc = jax.lax.fori_loop(0, N, fbody, (px, py, th, jnp.zeros_like(px0)))
+                Jc = Jc + obstacle_value(cx, cy) + terminal_quad(cx, cy, cth)
                 expected = -(alpha * dV1 + alpha * alpha * dV2)
                 Jc = jnp.where(jnp.isnan(Jc), jnp.inf, Jc)
                 ok = Jc <= J - c1 * jnp.maximum(expected, 0.0)
@@ -1122,7 +1155,11 @@ def make_pallas_tracking_solver(
                 return acc
 
             acc = jax.lax.fori_loop(0, N, body, jnp.zeros_like(px0))
-            return acc + obstacle_value(X_scr[N, 0], X_scr[N, 1])
+            return (
+                acc
+                + obstacle_value(X_scr[N, 0], X_scr[N, 1])
+                + terminal_quad(X_scr[N, 0], X_scr[N, 1], X_scr[N, 2])
+            )
 
         Jtrue = final_cost()
 
@@ -1154,7 +1191,15 @@ def make_pallas_tracking_solver(
 
         zero = jnp.zeros_like(px0)
         _, agx, agy, _, _, _ = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
-        _, _, _, kkt = jax.lax.fori_loop(0, N, adjoint, (agx, agy, zero, zero))
+        aexN = X_scr[N, 0] - xref_ref[0, N - 1, 0]
+        aeyN = X_scr[N, 1] - xref_ref[0, N - 1, 1]
+        aethN = X_scr[N, 2] - xref_ref[0, N - 1, 2]
+        _, _, _, kkt = jax.lax.fori_loop(
+            0,
+            N,
+            adjoint,
+            (agx + 2.0 * TW0 * aexN, agy + 2.0 * TW1 * aeyN, 2.0 * TW2 * aethN, zero),
+        )
 
         def emit(k, _):
             u_out[0, k, 0] = U_scr[k, 0]
@@ -1191,6 +1236,9 @@ def make_pallas_tracking_solver(
         x0 = jnp.stack([pack(thetas["x0"][:, i]) for i in range(3)], axis=1)
         xref = pack(thetas["x_ref"])  # (n_tiles, N, 3, S, L)
         uref = pack(thetas["u_ref"])
+        tw = thetas.get(
+            "terminal_weight", jnp.zeros((thetas["x0"].shape[0], 3), jnp.float32)
+        )
         wts = jnp.stack(
             [
                 pack(thetas["Q"][:, 0]),
@@ -1201,6 +1249,9 @@ def make_pallas_tracking_solver(
                 pack(thetas["reverse_factor"]),
                 pack(thetas["obstacle_weight"] * thetas["obstacle_gain"]),
                 pack(1.0 / (thetas["inflation_radius"] ** 2)),
+                pack(tw[:, 0]),
+                pack(tw[:, 1]),
+                pack(tw[:, 2]),
             ],
             axis=1,
         )
@@ -1229,7 +1280,7 @@ def make_pallas_tracking_solver(
                 bspec(3, tile_s, tile_l),
                 bspec(N, 3, tile_s, tile_l),
                 bspec(N, 2, tile_s, tile_l),
-                bspec(8, tile_s, tile_l),
+                bspec(11, tile_s, tile_l),
                 bspec(2, n_obs, tile_s, tile_l),
                 bspec(N, 2, tile_s, tile_l),
             ],

@@ -58,8 +58,7 @@ class Problem(NamedTuple):
     settings: SolverSettings
     kind: str = "point_stabilization"  # | "tracking" | "legacy"
     # build-time capability tags, e.g. "terminal_cost" when the optional
-    # terminal pose weight is nonzero (the Pallas tracking kernel hard-codes
-    # the parity structure and must reject such problems)
+    # terminal pose weight is nonzero
     tags: tuple = ()
 
 
@@ -166,9 +165,9 @@ def make_tracking(
     the receding horizon prefers *orbiting* a misaligned goal over parking
     (the stage yaw weight Q[2]=0.005 never pays for the turn; see ROADMAP).
     The default zeros preserve parity; the closed-loop parking test pins the
-    corrected behavior. NOTE: the whole-solver Pallas tracking kernel
-    hard-codes the parity structure (zero terminal weight); use the
-    vmap/fast engines when the terminal cost is active.
+    corrected behavior. All engines (vmap, fast, pallas) support the
+    terminal quadratic; the Pallas tracking kernel carries the per-scenario
+    weights in its packed weight plane.
     """
     N = horizon if horizon is not None else params.N
     F = make_step(unicycle.f, "euler", params.dt)  # quirk #3: Euler here

@@ -92,6 +92,54 @@ def test_pallas_tracking_kernel_matches_reference():
     np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-3)
 
 
+def test_pallas_tracking_kernel_terminal_weight():
+    """The corrected parking mode (nonzero terminal pose weight,
+    solver/problems.py::make_tracking terminal_weight) must run on the
+    Pallas tracking kernel and match the vmap engine — and the weight must
+    actually bend the solution (vs the parity zero-weight solve)."""
+    from ros2_mpc_tpu.solver import make_tracking
+    from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_tracking_solver
+
+    B = 16
+    rng = np.random.default_rng(7)
+    x0 = rng.uniform(-0.2, 0.2, size=(B, 3))
+    ts = np.arange(1, N + 1) * PARAMS.dt
+    x_ref = np.stack(
+        [
+            x0[:, 0:1] + 0.15 * ts[None],
+            np.zeros((B, N)),
+            np.full((B, N), 0.9),  # misaligned reference yaw: the stage
+        ],  # Q[2]=0.005 barely pays for the turn; the terminal weight must
+        axis=2,  # (ROADMAP goal-orbiting fix)
+    )
+    u_ref = np.tile([0.15, 0.0], (B, N, 1))
+    tw = (2.0, 2.0, 1.0)
+    prob = make_tracking(
+        PARAMS, horizon=N, settings=FAST, reference_parity=False, terminal_weight=tw
+    )
+    prob0 = make_tracking(PARAMS, horizon=N, settings=FAST, reference_parity=False)
+    thetas = jax.vmap(prob.make_theta)(
+        jnp.asarray(x0), jnp.asarray(x_ref), jnp.asarray(u_ref)
+    )
+    thetas0 = jax.vmap(prob0.make_theta)(
+        jnp.asarray(x0), jnp.asarray(x_ref), jnp.asarray(u_ref)
+    )
+    U0 = jnp.zeros((B, N, 2))
+    ref = jax.jit(jax.vmap(prob.solve))(thetas, U0)
+    solve_pl = make_pallas_tracking_solver(prob.ocp, FAST, interpret=True, tile_s=2, tile_l=8)
+    got = solve_pl(thetas, U0)
+    np.testing.assert_allclose(np.asarray(got.U), np.asarray(ref.U), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-3)
+    # same kernel build, zero weights in theta -> the parity solution
+    got0 = solve_pl(thetas0, U0)
+    ref0 = jax.jit(jax.vmap(prob0.solve))(thetas0, U0)
+    np.testing.assert_allclose(np.asarray(got0.U), np.asarray(ref0.U), atol=5e-4)
+    # the terminal weight must do real work: final yaw pulled toward 0.9
+    yaw_err = np.abs(np.asarray(got.X)[:, -1, 2] - 0.9)
+    yaw_err0 = np.abs(np.asarray(got0.X)[:, -1, 2] - 0.9)
+    assert np.mean(yaw_err) < np.mean(yaw_err0) - 0.1
+
+
 def test_pallas_kernel_live_prefix_chunking_edges():
     """The chunked obstacle loop must be exact at its edge cases: a live
     obstacle in the *last* slot (n_live = n_obs, full loop), obstacles

@@ -167,18 +167,30 @@ def test_graft_entry_compiles():
     assert np.all(np.isfinite(np.asarray(sol.U)))
 
 
-def test_pallas_engine_rejects_terminal_cost_problems():
-    """The Pallas tracking kernel hard-codes the parity (zero terminal
-    weight) structure; make_bank_solver must reject the combination loudly
-    instead of silently solving the wrong NLP."""
-    import pytest as _pytest
-
+def test_pallas_engine_solves_terminal_cost_problems():
+    """Terminal-weight tracking problems (the corrected parking mode) run on
+    the sharded Pallas engine and match the vmap engine — the round-3
+    engine-generality seam (the kernel used to reject nonzero terminal
+    weights) is closed."""
     from ros2_mpc_tpu.solver import make_tracking
 
-    prob = make_tracking(Params(), horizon=5, terminal_weight=(10.0, 10.0, 1.0))
-    mesh = make_mesh(1)
-    with _pytest.raises(ValueError, match="terminal"):
-        make_bank_solver(prob, mesh, engine="pallas")
+    N = 5
+    prob = make_tracking(Params(), horizon=N, terminal_weight=(10.0, 10.0, 1.0))
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    B = 8 * 2 * 8  # per-device multiple of tile_s * tile_l
+    x0 = jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 3)))
+    ts = np.arange(1, N + 1) * Params().dt
+    x_ref = jnp.asarray(
+        np.stack([0.1 * np.tile(ts, (B, 1)), np.zeros((B, N)), np.full((B, N), 0.5)], axis=2)
+    )
+    u_ref = jnp.asarray(np.tile([0.1, 0.0], (B, N, 1)))
+    thetas = jax.vmap(prob.make_theta)(x0, x_ref, u_ref)
+    U0 = jnp.zeros((B, N, 2))
+    step = make_bank_solver(prob, mesh, engine="pallas", tile_s=2, tile_l=8)
+    sols, metrics = step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    ref = jax.jit(jax.vmap(prob.solve))(thetas, U0)
+    np.testing.assert_allclose(np.asarray(sols.U), np.asarray(ref.U), atol=5e-4)
 
 
 def test_sharded_fleet_rollout_matches_unsharded():
