@@ -15,6 +15,11 @@ from .problems_ext import (
     make_bicycle_point_stabilization,
     make_smooth_point_stabilization,
 )
+from .rescue import (
+    make_pallas_two_pass_point_stab,
+    make_two_pass_solver,
+    rescue_schedule,
+)
 from .warmstart import shift_controls
 
 __all__ = [
@@ -33,4 +38,7 @@ __all__ = [
     "make_multistart_solver",
     "make_bicycle_point_stabilization",
     "make_smooth_point_stabilization",
+    "make_two_pass_solver",
+    "make_pallas_two_pass_point_stab",
+    "rescue_schedule",
 ]

@@ -1,0 +1,153 @@
+"""Two-pass straggler rescue: kill the convergence tail of a scenario bank.
+
+On obstacle-active banks the standard fixed schedule leaves a few percent of
+scenarios above the strict KKT tolerance (measured 3.3% at KKT<1e-4 on the
+bench bank, rounds 2-3) — the exponential obstacle cost's cliffs stall the
+line search on hard geometries. Re-running the *whole* bank on a longer
+schedule would cost ~3x; the stragglers are rare, so the efficient scheme is
+a second, compacted pass:
+
+1. **first pass**: the standard bank solve (any engine);
+2. **compaction**: gather the non-converged scenario indices (fixed capacity
+   ``C`` — shape-static under jit via ``top_k`` on the converged mask);
+3. **rescue bank**: each straggler enters twice — once cold-started (escapes
+   a bad basin) and once warm-started from its first-pass iterate (finishes
+   a nearly-converged run) — and the whole ``2C`` bank is solved once on a
+   longer schedule;
+4. **scatter-back**: per straggler the best of {first-pass, cold rescue,
+   warm rescue} by KKT residual wins; converged rows are untouched.
+
+The whole thing is one jitted program: one dispatch per bank, pipelineable
+like the plain solve. The rescue pass also changes the optimal *first* pass:
+since stragglers get a second chance, the first pass can run the fast
+schedule (SolverSettings.fast) and spend the saved iterations on the rescue
+bank. Measured on the bench bank (4096 scenarios, 3 live obstacles, TPU v5
+lite): standard single pass 96.7% strictly converged at 304k solves/s ->
+fast-first two-pass (capacity 512) **99.6% at 281k solves/s**. Of the ~15
+still-unconverged rows, most are f32-noise-limited (an x64 re-solve
+converges them) and ~5 are genuine saddle geometries.
+
+The reference has no analogue: a non-convergent IPOPT solve simply raises
+and kills the node (ros2_mpc/planner/local_planner_tracking.py:74).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ilqr import OCP, Solution, SolverSettings
+
+
+def rescue_schedule() -> SolverSettings:
+    """The measured-best rescue schedule: ~3.2x a standard solve per
+    scenario (16 barrier stages x 10 iterations, 12 line-search alphas) —
+    paid only for the straggler fraction of the bank."""
+    return SolverSettings(barrier_stages=16, iters_per_stage=10, n_alphas=12)
+
+
+def make_two_pass_solver(
+    first_solve: Callable,
+    rescue_solve: Callable,
+    capacity: int,
+):
+    """Fuse ``first_solve`` and a compacted straggler ``rescue_solve`` into
+    one ``solve(thetas, U0s) -> Solution``.
+
+    ``rescue_solve`` must accept a bank of ``2 * capacity`` scenarios (cold
+    and warm seeds are concatenated); for the Pallas engine pick ``capacity``
+    so ``2 * capacity`` is a multiple of its ``tile_s * tile_l``. If more
+    than ``capacity`` scenarios fail the first pass, the lowest-indexed ones
+    are rescued and the rest keep their first-pass iterates (monitor the
+    first-pass converged fraction when sizing).
+    """
+
+    def solve(thetas, U0s):
+        sols = first_solve(thetas, U0s)
+        B = sols.kkt_residual.shape[0]
+        # straggler indices, shape-static: failed rows score above every
+        # converged row; ties broken toward low index for determinism
+        fail = jnp.logical_not(sols.converged)
+        score = fail.astype(jnp.float32) * 2.0 - jnp.arange(B) / B
+        _, idx = jax.lax.top_k(score, capacity)
+
+        sub = jax.tree_util.tree_map(lambda l: jnp.concatenate([l[idx], l[idx]]), thetas)
+        seeds = jnp.concatenate([jnp.zeros_like(U0s[idx]), sols.U[idx]])
+        rsols = rescue_solve(sub, seeds)
+
+        k_c, k_w = rsols.kkt_residual[:capacity], rsols.kkt_residual[capacity:]
+        take_cold = k_c <= k_w
+
+        def best(cold, warm):
+            shape = (capacity,) + (1,) * (cold.ndim - 1)
+            return jnp.where(take_cold.reshape(shape), cold, warm)
+
+        k_r = best(k_c, k_w)
+        U_r = best(rsols.U[:capacity], rsols.U[capacity:])
+        X_r = best(rsols.X[:capacity], rsols.X[capacity:])
+        c_r = best(rsols.cost[:capacity], rsols.cost[capacity:])
+
+        # accept the rescue only where it actually improved the residual AND
+        # the row was a straggler (padding rows drawn in by top_k keep their
+        # converged first-pass iterates)
+        improved = jnp.logical_and(k_r < sols.kkt_residual[idx], fail[idx])
+
+        def merge(old, new):
+            shape = (capacity,) + (1,) * (new.ndim - 1)
+            take = improved.reshape(shape)
+            return old.at[idx].set(jnp.where(take, new, old[idx]))
+
+        kkt = merge(sols.kkt_residual, k_r)
+        # recompute the flag from the merged residuals at the strict default
+        # tolerance (every engine's SolverSettings.kkt_tol)
+        tol = SolverSettings().kkt_tol
+        return Solution(
+            U=merge(sols.U, U_r),
+            X=merge(sols.X, X_r),
+            cost=merge(sols.cost, c_r),
+            kkt_residual=kkt,
+            converged=kkt < tol,
+            n_iters=sols.n_iters,
+            reg=sols.reg,
+        )
+
+    return solve
+
+
+def make_pallas_two_pass_point_stab(
+    ocp: OCP,
+    settings: SolverSettings = SolverSettings(),
+    *,
+    capacity: int = 512,
+    rescue_settings: Optional[SolverSettings] = None,
+    interpret: bool = False,
+    tile_s: int = 8,
+    tile_l: int = 128,
+    rescue_tile_s: Optional[int] = None,
+):
+    """The production two-pass point-stabilization bank: Pallas first pass +
+    Pallas rescue pass in one jit. ``2 * capacity`` must be a multiple of
+    the rescue kernel's tile (default: rescue_tile_s chosen so one tile
+    covers the rescue bank). Pair a ``SolverSettings.fast()`` first pass
+    with the default capacity for the measured-best throughput/convergence
+    point (see the module docstring)."""
+    from .pallas_kernel import make_pallas_point_stab_solver
+
+    rescue_settings = rescue_settings or rescue_schedule()
+    rbank = 2 * capacity
+    if rescue_tile_s is None:
+        rescue_tile_s = max(1, rbank // tile_l)
+    if rbank % (rescue_tile_s * tile_l):
+        raise ValueError(
+            f"rescue bank {rbank} must be a multiple of rescue tile "
+            f"{rescue_tile_s}x{tile_l}"
+        )
+    first = make_pallas_point_stab_solver(
+        ocp, settings, interpret=interpret, tile_s=tile_s, tile_l=tile_l
+    )
+    rescue = make_pallas_point_stab_solver(
+        ocp, rescue_settings, interpret=interpret, tile_s=rescue_tile_s, tile_l=tile_l
+    )
+    return make_two_pass_solver(first, rescue, capacity)
