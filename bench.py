@@ -285,6 +285,48 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"hybrid bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # --- Bank-scale multistart on the adversarial saddle bank
+    # (solver/multistart_bank.py): basin escape at engine throughput. The
+    # bank is the canonical symmetric-saddle geometry (tools/demo_escape.py)
+    # at B=4096, N=40 — where the single-start engine demonstrably fails.
+    try:
+        from ros2_mpc_tpu.solver import (
+            adversarial_saddle_bank,
+            make_bank_multistart_solver,
+        )
+
+        N_SADDLE = 40
+        prob_s = make_point_stabilization(
+            params, horizon=N_SADDLE, reference_parity=False
+        )
+        thetas_s, U0_s = adversarial_saddle_bank(prob_s, BATCH, seed=0)
+        plain_s = jax.jit(
+            make_pallas_point_stab_solver(prob_s.ocp, prob_s.settings)
+        )
+        ms_s = jax.jit(
+            make_bank_multistart_solver(
+                prob_s.ocp, prob_s.settings, swing_fracs=(1.0,)
+            )
+        )
+        sols_sp = plain_s(thetas_s, U0_s)
+        sols_sm = ms_s(thetas_s, U0_s)
+        jax.block_until_ready((sols_sp, sols_sm))
+        tms = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [ms_s(thetas_s, U0_s) for _ in range(4)]
+            jax.block_until_ready(outs)
+            tms.append(time.perf_counter() - t0)
+        secondary["saddle_plain_converged_frac"] = round(
+            float(jnp.mean(sols_sp.converged.astype(jnp.float32))), 4
+        )
+        secondary["saddle_multistart_converged_frac"] = round(
+            float(jnp.mean(sols_sm.converged.astype(jnp.float32))), 4
+        )
+        secondary["saddle_multistart_solves_per_s"] = round(4 * BATCH / min(tms), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"saddle multistart bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # --- Tracking-problem bank (Pallas tracking kernel, XLA fallback).
     try:
         from ros2_mpc_tpu.solver import make_tracking

@@ -15,6 +15,10 @@ from .problems_ext import (
     make_bicycle_point_stabilization,
     make_smooth_point_stabilization,
 )
+from .multistart_bank import (
+    adversarial_saddle_bank,
+    make_bank_multistart_solver,
+)
 from .rescue import (
     make_pallas_two_pass_point_stab,
     make_two_pass_solver,
@@ -41,4 +45,6 @@ __all__ = [
     "make_two_pass_solver",
     "make_pallas_two_pass_point_stab",
     "rescue_schedule",
+    "make_bank_multistart_solver",
+    "adversarial_saddle_bank",
 ]
