@@ -7,7 +7,9 @@ node graph in this package drives a physical robot unchanged; without rclpy
 everything runs on the in-process bus (tests, simulation, benchmarks).
 
 This module is import-guarded: it must not be imported at package import
-time (rclpy is absent in CI and on TPU hosts).
+time (rclpy is absent in CI and on TPU hosts). Its conversion and
+spin-pacing contract is pinned without ROS by tests/test_ros_adapter.py,
+which injects a structural fake rclpy via sys.modules.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ import numpy as np
 
 from .bus import LaserScan, MessageBus, Odometry, Pose, PoseStamped, Quaternion, Twist
 
-try:  # pragma: no cover - exercised only on ROS-enabled hosts
+try:
     import rclpy  # type: ignore
     from geometry_msgs.msg import PoseStamped as RosPoseStamped  # type: ignore
     from geometry_msgs.msg import Twist as RosTwist  # type: ignore
@@ -24,17 +26,25 @@ try:  # pragma: no cover - exercised only on ROS-enabled hosts
     from sensor_msgs.msg import LaserScan as RosLaserScan  # type: ignore
 
     HAVE_RCLPY = True
-except ImportError:  # pragma: no cover
+except ImportError:  # pragma: no cover - rclpy genuinely absent
     HAVE_RCLPY = False
 
 
-class RclpyBusBridge:  # pragma: no cover - requires a ROS 2 installation
-    """Bidirectional bridge: DDS sensor topics -> bus, bus cmd_vel -> DDS."""
+class RclpyBusBridge:
+    """Bidirectional bridge: DDS sensor topics -> bus, bus cmd_vel -> DDS.
+
+    Topic map (the reference's live graph, ros2_mpc/core/ros_topics.py:11-106):
+    ``/scan`` (LaserScan), ``/robot_position`` (Odometry), ``/goal_pose``
+    (PoseStamped) flow DDS -> bus; ``cmd_vel`` (Twist) flows bus -> DDS.
+    """
 
     def __init__(self, bus: MessageBus, node_name: str = "tpu_mpc_bridge"):
         if not HAVE_RCLPY:
             raise ImportError("rclpy is not available; use the in-process bus instead")
-        rclpy.init()
+        # idempotent init: a host process may own the rclpy context already
+        # (launch files, test harnesses); double-init raises in rclpy
+        if not rclpy.ok():
+            rclpy.init()
         self.bus = bus
         self.node = rclpy.create_node(node_name)
         self.node.create_subscription(RosLaserScan, "/scan", self._on_scan, 10)
@@ -82,4 +92,15 @@ class RclpyBusBridge:  # pragma: no cover - requires a ROS 2 installation
         self._cmd_pub.publish(out)
 
     def spin_once(self, timeout_sec: float = 0.05):
+        """Drain pending DDS callbacks, blocking at most ``timeout_sec`` —
+        the pacing knob the live rate scheduler calls once per tick (a
+        missing topic simply yields no callbacks; the bus keeps its last
+        values and the control loop degrades gracefully)."""
         rclpy.spin_once(self.node, timeout_sec=timeout_sec)
+
+    def close(self):
+        """Destroy the node and release the rclpy context (only if this
+        bridge initialized it — an embedding host keeps its own)."""
+        self.node.destroy_node()
+        if rclpy.ok():
+            rclpy.shutdown()
