@@ -64,6 +64,32 @@ class _RosTwist:
         self.angular = _Vec3()
 
 
+class _Header:
+    def __init__(self):
+        self.frame_id = ""
+
+
+class _RosPath:
+    def __init__(self):
+        self.header = _Header()
+        self.poses = []
+
+
+class _MapInfo:
+    def __init__(self):
+        self.resolution = 0.0
+        self.width = 0
+        self.height = 0
+        self.origin = _RosPose()
+
+
+class _RosOccupancyGrid:
+    def __init__(self):
+        self.header = _Header()
+        self.info = _MapInfo()
+        self.data = []
+
+
 class _FakeSubscription:
     def __init__(self, msg_type, topic, callback):
         self.msg_type = msg_type
@@ -145,6 +171,8 @@ def _make_fake_rclpy():
     nav = types.ModuleType("nav_msgs")
     nav_msg = types.ModuleType("nav_msgs.msg")
     nav_msg.Odometry = _RosOdometry
+    nav_msg.Path = _RosPath
+    nav_msg.OccupancyGrid = _RosOccupancyGrid
     nav.msg = nav_msg
     sensor = types.ModuleType("sensor_msgs")
     sensor_msg = types.ModuleType("sensor_msgs.msg")
@@ -199,7 +227,7 @@ def test_scan_odom_goal_flow_dds_to_bus(adapter):
     mod, rclpy = adapter
     bus, bridge = _bridge(mod)
     node = bridge.node
-    assert set(node.subscriptions) == {"/scan", "/robot_position", "/goal_pose"}
+    assert set(node.subscriptions) == {"/scan", "/robot_position", "/goal_pose", "/map"}
 
     scan = _RosLaserScan()
     scan.ranges = [1.0, 2.5, float("inf")]
@@ -253,6 +281,83 @@ def test_cmd_vel_flows_bus_to_dds(adapter):
     assert out.angular.z == pytest.approx(-0.2)
     # y/z linear channels stay zero: a unicycle cannot strafe
     assert out.linear.y == 0.0 and out.angular.x == 0.0
+
+
+def test_operator_topics_flow_bus_to_dds(adapter):
+    """The operator cockpit's displays (smoothed_plan Path, /map and the
+    two costmap OccupancyGrids) must mirror from the bus onto DDS with the
+    reference's row-major layout (ros_topics.py:145-193) so
+    config/rviz_tpu_mpc.rviz renders them."""
+    mod, rclpy = adapter
+    from ros2_mpc_tpu.nodes.bus import (
+        MapMetaData,
+        MessageBus,
+        OccupancyGrid,
+        Pose,
+        PoseStamped,
+        Quaternion,
+    )
+    from ros2_mpc_tpu.nodes.bus import Path as BusPath
+
+    bus = MessageBus()
+    bridge = mod.RclpyBusBridge(bus)
+
+    plan = BusPath(
+        poses=[
+            PoseStamped(pose=Pose(x=1.0, y=2.0, orientation=Quaternion(z=0.5, w=0.866))),
+            PoseStamped(pose=Pose(x=1.5, y=2.5)),
+        ]
+    )
+    bus.publish("smoothed_plan", plan)
+    out = bridge.node.publishers["smoothed_plan"].published[-1]
+    assert out.header.frame_id == "map"
+    assert len(out.poses) == 2
+    assert out.poses[0].pose.position.x == 1.0
+    assert out.poses[0].pose.orientation.z == 0.5
+    assert out.poses[1].pose.position.y == 2.5
+
+    grid = OccupancyGrid(
+        info=MapMetaData(resolution=0.05, width=3, height=2, origin_x=-1.0, origin_y=2.0),
+        data=np.array([[0, 100, 0], [100, 0, 100]]),
+    )
+    for topic in ("/my_local_costmap", "/my_global_costmap"):
+        bus.publish(topic, grid)
+        got = bridge.node.publishers[topic].published[-1]
+        assert got.info.width == 3 and got.info.height == 2
+        assert got.info.resolution == 0.05
+        assert got.info.origin.position.x == -1.0
+        assert got.info.origin.position.y == 2.0
+        assert got.data == [0, 100, 0, 100, 0, 100]  # row-major flatten
+    # /map is inbound-only: republishing would echo the bridge's own
+    # subscription back to DDS
+    assert "/map" not in bridge.node.publishers
+
+    # operator_topics=False: a lean robot-only bridge
+    bridge2 = mod.RclpyBusBridge(MessageBus(), node_name="lean", operator_topics=False)
+    assert set(bridge2.node.publishers) == {"cmd_vel"}
+
+
+def test_map_flows_dds_to_bus(adapter):
+    """A nav2/reference map server's /map OccupancyGrid must land on the
+    bus reshaped (h, w) with its metadata — the global planner's input in
+    --source ros mode."""
+    mod, rclpy = adapter
+    bus, bridge = _bridge(mod)
+    msg = _RosOccupancyGrid()
+    msg.header.frame_id = "map"
+    msg.info.resolution = 0.1
+    msg.info.width = 3
+    msg.info.height = 2
+    msg.info.origin.position.x = -4.84
+    msg.info.origin.position.y = -6.61
+    msg.data = [0, 100, 0, 100, 0, 100]
+    bridge.node.pending.append(("/map", msg))
+    bridge.spin_once()
+    got, _ = bus.latest("/map")
+    assert got.info.width == 3 and got.info.height == 2
+    assert got.info.resolution == 0.1
+    assert got.info.origin_x == -4.84 and got.info.origin_y == -6.61
+    np.testing.assert_array_equal(got.data, [[0, 100, 0], [100, 0, 100]])
 
 
 def test_spin_once_paces_and_tolerates_missing_topics(adapter):
