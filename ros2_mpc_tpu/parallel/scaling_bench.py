@@ -130,6 +130,106 @@ def run_all_engines(per_device_batch: int = 512, horizon: int = 20, reps: int = 
     return out
 
 
+def run_distributed(timeout: float = 600.0):
+    """Launch the 2-process x 4-virtual-device jax.distributed scaling
+    measurement (tests/dist_scaling_worker.py) over local TCP — the
+    DCN-path analogue: the global-mesh step's telemetry all-reduces cross
+    the OS-process boundary every dispatch. Returns the worker's artifact
+    dict (per-engine 1-dev vs 8-dev-global throughput + efficiency)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    worker = os.path.join(repo, "tests", "dist_scaling_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # skip the TPU relay sitecustomize
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outputs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"distributed scaling worker {pid} failed:\n{out}")
+    for out in outputs:
+        for line in out.splitlines():
+            if line.startswith("DIST_SCALING_OK "):
+                return json.loads(line[len("DIST_SCALING_OK "):])
+    raise RuntimeError(f"no DIST_SCALING_OK line:\n{outputs}")
+
+
+def probe_single_device_core_usage(engine: str = "vmap", per_device_batch: int = 512):
+    """Decompose the virtual-mesh efficiency gap: how many physical cores
+    does the 1-device baseline itself consume?
+
+    The contention ceiling (cores / devices) assumes the single-device
+    baseline uses ONE core — but XLA:CPU parallelizes one device's program
+    across its intra-op threadpool, so engines whose baseline already eats
+    both cores (vmap's batched jacobians, mppi's sample rollouts) make the
+    naive ceiling unreachable by construction. This probe times the 1-device
+    solve unpinned vs pinned to one core (``taskset -c 0``): the ratio IS
+    the baseline's effective core usage, and (cores / devices) /
+    baseline_cores is the corrected ceiling. Returns the dict
+    {unpinned_solves_per_s, pinned_solves_per_s, baseline_core_usage}."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    code = (
+        "from ros2_mpc_tpu.parallel.scaling_bench import run;"
+        f"r = run({per_device_batch}, 20, 3, engine={engine!r});"
+        "print('PROBE', r['solves_per_s_1dev'])"
+    )
+    rates = {}
+    for name, prefix in {"unpinned": [], "pinned": ["taskset", "-c", "0"]}.items():
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
+        )
+        out = subprocess.run(
+            prefix + [sys.executable, "-c", code],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"{name} probe failed:\n{out.stdout}\n{out.stderr}")
+        for line in out.stdout.splitlines():
+            if line.startswith("PROBE "):
+                rates[name] = float(line.split()[1])
+    return {
+        "engine": engine,
+        "unpinned_solves_per_s": rates["unpinned"],
+        "pinned_solves_per_s": rates["pinned"],
+        "baseline_core_usage": rates["unpinned"] / rates["pinned"],
+    }
+
+
 def main(argv=None):
     import argparse
 
@@ -138,8 +238,26 @@ def main(argv=None):
     ap.add_argument("--horizon", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="SCALING.json", help="JSON artifact path")
+    ap.add_argument(
+        "--distributed",
+        action="store_true",
+        help="also run the 2-process jax.distributed (DCN-analogue) measurement",
+    )
+    ap.add_argument(
+        "--decompose",
+        action="store_true",
+        help="probe the 1-device baseline's core usage (taskset-pinned rerun) "
+        "for the engines that fall short of the naive contention ceiling",
+    )
     args = ap.parse_args(argv)
     out = run_all_engines(args.per_device_batch, args.horizon, args.reps)
+    if args.decompose:
+        out["baseline_core_usage_probe"] = [
+            probe_single_device_core_usage(e, args.per_device_batch)
+            for e in ("vmap", "mppi")
+        ]
+    if args.distributed:
+        out["distributed"] = run_distributed()
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     for r in out["results"]:
@@ -150,6 +268,19 @@ def main(argv=None):
             f"efficiency={r['scaling_efficiency'] * 100:.1f}% "
             f"(vs contention ceiling {out['contention_ceiling'] * 100:.0f}%: "
             f"{r['efficiency_vs_ceiling'] * 100:.1f}%)"
+        )
+    for r in out.get("baseline_core_usage_probe", []):
+        print(
+            f"decompose {r['engine']}: 1-dev baseline uses "
+            f"{r['baseline_core_usage']:.2f} cores -> corrected ceiling "
+            f"{out['contention_ceiling'] / r['baseline_core_usage'] * 100:.1f}%"
+        )
+    for r in out.get("distributed", {}).get("results", []):
+        print(
+            f"dist {r['engine']:>6}: 1-dev={r['solves_per_s_1dev']:.0f}/s "
+            f"8-dev-2proc={r['solves_per_s_ndev']:.0f}/s "
+            f"efficiency={r['scaling_efficiency'] * 100:.1f}% "
+            f"(vs ceiling: {r['efficiency_vs_ceiling'] * 100:.1f}%)"
         )
 
 

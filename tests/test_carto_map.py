@@ -118,3 +118,20 @@ def test_autonomous_exploration_of_carto_map(carto):
     assert known_m2 > 40.0, f"only {known_m2:.0f} m^2 mapped"
     # it really left the starting room (east doorway is at x ~ 3.0)
     assert max(p[0] for p in poses) > 3.2
+    # exploration QUALITY telemetry (VERDICT r03 item 8): the coverage floor
+    # and rate are numeric regression gates on goal selection, not just
+    # non-collision. Measured on this map: ~58 m^2 at ~2.5-4 m^2/100 ticks.
+    s = explorer.summary()
+    assert s["coverage_m2"] == pytest.approx(known_m2, rel=1e-6)
+    assert s["coverage_m2"] > 50.0, s["coverage_m2"]
+    assert s["coverage_rate_m2_per_100ticks"] > 1.5, s
+    # decision log: every pick recorded with its reason and candidate count
+    picks = [d for d in s["decisions"] if d["event"] == "picked"]
+    assert len(picks) == explorer.n_goals
+    assert all(d["n_candidates"] >= 1 for d in picks)
+    assert picks[0]["reason"] == "init"
+    # coverage grows along the log (small dips allowed: log-odds cells can
+    # fall back into the unknown band under contradicting scan evidence)
+    cov = [c for _, c in s["coverage_log"]]
+    assert cov[-1] > cov[0] + 20.0, (cov[0], cov[-1])
+    assert all(b >= a - 2.0 for a, b in zip(cov, cov[1:]))
