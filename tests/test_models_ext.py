@@ -125,7 +125,7 @@ def test_new_kinds_shard_with_vmap_engine_and_reject_specialized():
 
     from ros2_mpc_tpu.parallel.fleet import make_fleet_rollout
 
-    with pytest.raises(ValueError, match="unicycle point-stabilization"):
+    with pytest.raises(ValueError, match="point_stabilization"):
         make_fleet_rollout(prob, n_ticks=2, dt=PARAMS.dt)
 
 
