@@ -522,6 +522,7 @@ def main():
                 np.zeros(BATCH),  # obstacle-inert bank: dynamic skip -> P = 0
                 np.asarray(cnt["iters"]),
                 np.asarray(cnt["ls_rollouts"]),
+                fast_sincos=True,  # the kernels' default paired-poly sin/cos
             )
             rep = rl.roofline_report(
                 count,
@@ -552,6 +553,7 @@ def main():
                     P_c,
                     np.asarray(cnt_c["iters"]),
                     np.asarray(cnt_c["ls_rollouts"]),
+                    fast_sincos=True,
                 )
                 rep_c = rl.roofline_report(
                     count_c, BATCH / secondary["corrected_obstacle_solves_per_s"], peaks

@@ -97,6 +97,16 @@ def make_bank_solver(
       elite, deterministic arc seeds}, best-of by (converged, cost)
       (solver/mppi.py::make_multistart_solver); breaks symmetric saddles
       sampling alone cannot.
+    * ``'two_pass'`` — the production straggler rescue
+      (solver/rescue.py::make_pallas_two_pass_point_stab): Pallas first
+      pass + compacted cold/warm long-schedule re-solve of the
+      non-converged tail, per shard, one jit. Point-stabilization kinds
+      only. Opts: ``capacity=`` (per-shard), ``rescue_settings=``, tiles.
+    * ``'multistart_bank'`` — basin escape at bank-engine throughput
+      (solver/multistart_bank.py): K arc-seed starts per scenario reshaped
+      into the batch, per-shard. Opts: ``swing_fracs=``, ``inner_engine=``
+      (the bank engine doing the polish: 'pallas' | 'fast' | 'vmap'),
+      tiles/lanes.
 
     Extra ``engine_opts`` are forwarded to the engine factory
     (``lanes=`` for 'fast'; ``interpret=``, ``tile_s=``, ``tile_l=`` for
@@ -116,6 +126,13 @@ def make_bank_solver(
             f"engine='{engine}' hard-codes the reference unicycle structure; "
             f"problem kind {kind!r} (model-generic family) needs "
             "engine='vmap' | 'mppi' | 'hybrid' | 'multistart'"
+        )
+    if engine in ("two_pass", "multistart_bank") and kind not in (
+        "point_stabilization", "legacy",
+    ):
+        raise ValueError(
+            f"engine='{engine}' composes the point-stabilization bank "
+            f"kernels; problem kind {kind!r} needs another engine"
         )
     if engine == "fast":
         from ..solver.batched import make_bank_solver_fast
@@ -138,6 +155,22 @@ def make_bank_solver(
             batched = make_pallas_point_stab_solver(
                 problem.ocp, problem.settings, **engine_opts
             )
+    elif engine == "two_pass":
+        from ..solver.rescue import make_pallas_two_pass_point_stab
+
+        engine_opts.setdefault("interpret", jax.default_backend() != "tpu")
+        batched = make_pallas_two_pass_point_stab(
+            problem.ocp, problem.settings, **engine_opts
+        )
+    elif engine == "multistart_bank":
+        from ..solver.multistart_bank import make_bank_multistart_solver
+
+        inner = engine_opts.pop("inner_engine", "pallas")
+        if inner == "pallas":
+            engine_opts.setdefault("interpret", jax.default_backend() != "tpu")
+        batched = make_bank_multistart_solver(
+            problem.ocp, problem.settings, engine=inner, **engine_opts
+        )
     elif engine in ("mppi", "hybrid", "multistart"):
         from ..solver.mppi import (
             MppiSettings,
@@ -183,10 +216,11 @@ def make_bank_solver(
     else:
         raise ValueError(
             f"unknown engine {engine!r}; expected "
-            "'vmap' | 'fast' | 'pallas' | 'mppi' | 'hybrid' | 'multistart'"
+            "'vmap' | 'fast' | 'pallas' | 'mppi' | 'hybrid' | 'multistart' "
+            "| 'two_pass' | 'multistart_bank'"
         )
 
-    if engine in ("fast", "pallas") and mesh.size > 1:
+    if engine in ("fast", "pallas", "two_pass", "multistart_bank") and mesh.size > 1:
         # The scenario axis is embarrassingly parallel: run the engine
         # per-shard so its lane/tile packing never crosses a device
         # boundary. (No collectives inside — telemetry reduces outside.)

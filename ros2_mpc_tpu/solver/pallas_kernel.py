@@ -43,6 +43,59 @@ TILE_S = 8  # sublanes per scenario tile
 TILE_L = 128  # lanes per scenario tile
 TILE = TILE_S * TILE_L
 
+# Fast paired sin/cos. Profiling the kernels on TPU v5 lite showed the
+# stock jnp.sin/jnp.cos lowering dominating wall-clock (~58% of the
+# point-stabilization solve: the VPU runs it at ~31G pairs/s vs ~3.3T FMA
+# FLOP/s — a ~50-cycle range-reduction + polynomial per element). The
+# kernels only ever need sin AND cos of the same angle, and control
+# problems keep |theta| small (tens of radians across a long un-wrapped
+# fleet rollout), so a single cheap 2*pi reduction + odd/even minimax
+# polynomials on [-pi, pi] (degree 13/14, least-squares fit; max abs error
+# 3.3e-6 in f32 for |x| <= 60 rad — measured, incl. reduction rounding)
+# replaces it at ~64G pairs/s (2.07x). That is far inside the engines'
+# mutual 1e-4 parity band and the BASELINE 1e-3 oracle bound.
+_FAST_SIN_COEFFS = (  # sin(pi*t) = t * P(t^2), t in [-1, 1]
+    3.1415926409395274,
+    -5.167712276801008,
+    2.5501582806119174,
+    -0.5992355764432307,
+    0.08207129109395697,
+    -0.007267320535221715,
+    0.00039296507715625833,
+)
+_FAST_COS_COEFFS = (  # cos(pi*t) = Q(t^2)
+    0.9999999999193593,
+    -4.934802189554386,
+    4.0587118821364125,
+    -1.3352607094469389,
+    0.23532212897176416,
+    -0.025787854657773987,
+    0.001905911958441571,
+    -8.916973037465991e-05,
+)
+_INV_2PI = float(1.0 / (2.0 * np.pi))
+_TWO_PI = float(2.0 * np.pi)
+_INV_PI = float(1.0 / np.pi)
+
+
+def _fast_sincos(x):
+    """(cos x, sin x) via one shared range reduction + Horner pair (~21
+    FMA-class ops for both)."""
+    r = x - _TWO_PI * jnp.floor(x * _INV_2PI + 0.5)
+    t = r * _INV_PI
+    t2 = t * t
+    ps = _FAST_SIN_COEFFS[-1]
+    for c in _FAST_SIN_COEFFS[-2::-1]:
+        ps = ps * t2 + c
+    pc = _FAST_COS_COEFFS[-1]
+    for c in _FAST_COS_COEFFS[-2::-1]:
+        pc = pc * t2 + c
+    return pc, ps * t
+
+
+def _stock_sincos(x):
+    return jnp.cos(x), jnp.sin(x)
+
 
 def _mu_schedule_np(settings: SolverSettings) -> np.ndarray:
     stages = np.logspace(
@@ -72,6 +125,7 @@ def make_pallas_point_stab_solver(
     tile_l: int = TILE_L,
     stage_tol: float = 1e-10,
     with_counters: bool = False,
+    fast_sincos: bool = True,
 ):
     """Build ``solve_bank(thetas, U0s) -> Solution`` (B-leading, B % 1024 == 0).
 
@@ -167,26 +221,33 @@ def make_pallas_point_stab_solver(
 
         lo_v, lo_w = u_lo[0], u_lo[1]
         hi_v, hi_w = u_hi[0], u_hi[1]
+        sincos = _fast_sincos if fast_sincos else _stock_sincos
 
         def F(px, py, th, v, w):
             th2 = th + 0.5 * dt * w
             th4 = th + dt * w
-            c = (dt / 6.0) * (jnp.cos(th) + 4.0 * jnp.cos(th2) + jnp.cos(th4))
-            s = (dt / 6.0) * (jnp.sin(th) + 4.0 * jnp.sin(th2) + jnp.sin(th4))
+            c0, s0 = sincos(th)
+            c2, s2 = sincos(th2)
+            c4, s4 = sincos(th4)
+            c = (dt / 6.0) * (c0 + 4.0 * c2 + c4)
+            s = (dt / 6.0) * (s0 + 4.0 * s2 + s4)
             return px + v * c, py + v * s, th4
 
         def F_jac(px, py, th, v, w):
             """Closed-form RK4 A, B (see module docstring)."""
             th2 = th + 0.5 * dt * w
             th4 = th + dt * w
-            C = (dt / 6.0) * (jnp.cos(th) + 4.0 * jnp.cos(th2) + jnp.cos(th4))
-            S = (dt / 6.0) * (jnp.sin(th) + 4.0 * jnp.sin(th2) + jnp.sin(th4))
+            c0, s0 = sincos(th)
+            c2, s2 = sincos(th2)
+            c4, s4 = sincos(th4)
+            C = (dt / 6.0) * (c0 + 4.0 * c2 + c4)
+            S = (dt / 6.0) * (s0 + 4.0 * s2 + s4)
             # d th_i/d th = 1 -> dpx'/dth = -v*S ; dpy'/dth = v*C
             a02 = -v * S
             a12 = v * C
             # d th2/dw = dt/2, d th4/dw = dt
-            b01 = -(v * dt / 6.0) * (4.0 * jnp.sin(th2) * (0.5 * dt) + jnp.sin(th4) * dt)
-            b11 = (v * dt / 6.0) * (4.0 * jnp.cos(th2) * (0.5 * dt) + jnp.cos(th4) * dt)
+            b01 = -(v * dt / 6.0) * (4.0 * s2 * (0.5 * dt) + s4 * dt)
+            b11 = (v * dt / 6.0) * (4.0 * c2 * (0.5 * dt) + c4 * dt)
             return a02, a12, C, S, b01, b11  # A=[[1,0,a02],[0,1,a12],[0,0,1]]
             # B=[[C,b01],[S,b11],[0,dt]]
 
@@ -714,6 +775,7 @@ def make_pallas_tracking_solver(
     tile_l: int = TILE_L,
     stage_tol: float = 1e-10,
     with_counters: bool = False,
+    fast_sincos: bool = True,
 ):
     """Whole-solver Pallas kernel for the trajectory-tracking formulation
     (make_tracking): Euler transition (quirk #3), time-varying x/u references
@@ -784,13 +846,14 @@ def make_pallas_tracking_solver(
         n_chunks_live = (n_live + obs_chunk - 1) // obs_chunk
         lo_v, lo_w = u_lo[0], u_lo[1]
         hi_v, hi_w = u_hi[0], u_hi[1]
+        sincos = _fast_sincos if fast_sincos else _stock_sincos
 
         def F(px, py, th, v, w):
-            return px + dt * v * jnp.cos(th), py + dt * v * jnp.sin(th), th + dt * w
+            c, s = sincos(th)
+            return px + dt * v * c, py + dt * v * s, th + dt * w
 
         def F_jac(px, py, th, v, w):
-            c = jnp.cos(th)
-            s = jnp.sin(th)
+            c, s = sincos(th)
             # A = [[1,0,-dt v s],[0,1,dt v c],[0,0,1]]
             # B = [[dt c,0],[dt s,0],[0,dt]]
             return -dt * v * s, dt * v * c, dt * c, dt * s

@@ -82,7 +82,7 @@ class FlopCount:
 # ---------------------------------------------------------------------------
 
 def point_stab_solve_flops(
-    N: int, P: float, iters: float, ls_rollouts: float
+    N: int, P: float, iters: float, ls_rollouts: float, fast_sincos: bool = False
 ) -> FlopCount:
     """Per-scenario op count of one point-stabilization kernel solve
     (make_pallas_point_stab_solver) that executed ``iters`` solver iterations
@@ -120,11 +120,21 @@ def point_stab_solve_flops(
     exp = (2.0 * I + R + 2.0) * N * (1.0 + P)
     log = 4.0 * N * (I + R)
     sincos = 6.0 * N * (2.0 * I + R + 2.0)
+    if fast_sincos:
+        # the kernels' default paired-polynomial sin/cos (pallas_kernel.py::
+        # _fast_sincos): each pair is ~21 FMA-class ops (shared 2*pi
+        # reduction + odd/even Horner), so sincos ops convert to arith
+        return FlopCount(arith + sincos * 10.5, exp, log, 0.0)
     return FlopCount(arith, exp, log, sincos)
 
 
 def tracking_solve_flops(
-    N: int, P: float, iters: float, ls_rollouts: float, terminal_quad: bool = True
+    N: int,
+    P: float,
+    iters: float,
+    ls_rollouts: float,
+    terminal_quad: bool = True,
+    fast_sincos: bool = False,
 ) -> FlopCount:
     """Per-scenario op count of one tracking kernel solve
     (make_pallas_tracking_solver). Ledger differences vs point-stab: Euler
@@ -148,6 +158,8 @@ def tracking_solve_flops(
     exp = (2.0 * I + R + 2.0) * N * (1.0 + P) + P * (2.0 * I + R + 2.0)
     log = 4.0 * N * (I + R)
     sincos = 2.0 * N * (2.0 * I + R + 2.0) + 2.0 * N * I  # F_jac in bwd+adjoint
+    if fast_sincos:
+        return FlopCount(arith + sincos * 10.5, exp, log, 0.0)
     return FlopCount(arith, exp, log, sincos)
 
 
@@ -220,13 +232,18 @@ def _chain_rate(op_name: str, rows: int, cols: int, n_steps: int, unroll: int,
     from jax.experimental.pallas import tpu as pltpu
 
     ops = {
-        # x kept in a bounded range by construction of each iteration map
-        "fma": lambda x: x * 1.0000001 + 1e-9,
-        "exp": lambda x: jnp.exp(-x),          # fixed point ~0.567, stays in (0, 1]
-        "log": lambda x: jnp.log(x) + 2.0,     # fixed point ~3.15, stays in [2, 3.2]
-        "sincos": lambda x: jnp.cos(x),        # fixed point ~0.739
+        # x kept in a bounded range by construction of each iteration map;
+        # second element = transcendental ops per iteration
+        "fma": (lambda x: x * 1.0000001 + 1e-9, 1),
+        "exp": (lambda x: jnp.exp(-x), 1),         # fixed point ~0.567, in (0, 1]
+        "log": (lambda x: jnp.log(x) + 2.0, 1),    # fixed point ~3.15, in [2, 3.2]
+        # the kernels only ever need sin AND cos of the same angle, and the
+        # lowering shares range reduction across the pair (measured: pairs
+        # run 1.78x the single-cos rate) — so the per-op peak is measured on
+        # the paired workload, 2 ops per iteration
+        "sincos": (lambda x: jnp.cos(x) + 0.5 * jnp.sin(x), 2),
     }
-    op = ops[op_name]
+    op, ops_per_iter = ops[op_name]
 
     def kernel(x_ref, o_ref):
         def body(_, x):
@@ -259,7 +276,7 @@ def _chain_rate(op_name: str, rows: int, cols: int, n_steps: int, unroll: int,
         jax.block_until_ready(outs)
         best = min(best, time.perf_counter() - t0)
     assert np.isfinite(float(outs[-1][0, 0]))  # force + sanity-check the tail
-    return n_calls * rows * cols * n_steps * unroll / best
+    return n_calls * rows * cols * n_steps * unroll * ops_per_iter / best
 
 
 def measure_vpu_peaks(

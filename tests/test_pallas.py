@@ -140,6 +140,36 @@ def test_pallas_tracking_kernel_terminal_weight():
     assert np.mean(yaw_err) < np.mean(yaw_err0) - 0.1
 
 
+def test_fast_sincos_accuracy_and_kernel_parity():
+    """The kernels' default paired-polynomial sin/cos (~2x VPU throughput of
+    the stock lowering) must stay within a few 1e-6 of numpy over the whole
+    plausible angle range (un-wrapped fleet rollouts reach tens of radians),
+    and the kernel's two sincos modes must agree within the engines' parity
+    band."""
+    from ros2_mpc_tpu.solver.pallas_kernel import _fast_sincos
+
+    x = jnp.asarray(np.linspace(-60.0, 60.0, 400001), dtype=jnp.float32)
+    c, s = jax.jit(_fast_sincos)(x)
+    x64 = np.asarray(x, dtype=np.float64)
+    assert float(jnp.max(jnp.abs(c - np.cos(x64)))) < 5e-6
+    assert float(jnp.max(jnp.abs(s - np.sin(x64)))) < 5e-6
+
+    prob = make_point_stabilization(PARAMS, horizon=N, settings=FAST)
+    thetas, U0 = _bank(prob, 16, seed=9)
+    got_fast = make_pallas_point_stab_solver(
+        prob.ocp, FAST, interpret=True, tile_s=2, tile_l=8, fast_sincos=True
+    )(thetas, U0)
+    got_stock = make_pallas_point_stab_solver(
+        prob.ocp, FAST, interpret=True, tile_s=2, tile_l=8, fast_sincos=False
+    )(thetas, U0)
+    np.testing.assert_allclose(
+        np.asarray(got_fast.U), np.asarray(got_stock.U), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_fast.cost), np.asarray(got_stock.cost), rtol=1e-3
+    )
+
+
 def test_pallas_kernel_live_prefix_chunking_edges():
     """The chunked obstacle loop must be exact at its edge cases: a live
     obstacle in the *last* slot (n_live = n_obs, full loop), obstacles

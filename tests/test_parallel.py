@@ -167,6 +167,45 @@ def test_graft_entry_compiles():
     assert np.all(np.isfinite(np.asarray(sol.U)))
 
 
+def test_composite_engines_on_mesh():
+    """The production composites — two-pass straggler rescue and bank
+    multistart — run per-shard on the 8-device mesh and never regress the
+    vmap engine's answers (two_pass only improves KKT; multistart_bank
+    only improves (converged, cost))."""
+    N = 6
+    prob = _problem(horizon=N)
+    mesh = make_mesh(8)
+    B = 8 * 2 * 8
+    rng = np.random.default_rng(3)
+    thetas = jax.vmap(prob.make_theta)(
+        jnp.asarray(rng.uniform(-0.2, 0.2, size=(B, 3))),
+        jnp.asarray(rng.uniform(-1.0, 1.0, size=(B, 3))),
+    )
+    U0 = jnp.zeros((B, N, 2))
+    # baseline: the plain pallas engine (the composites' own first pass /
+    # polish numerics — a vmap baseline would differ in the noise floor)
+    ref, _ = make_bank_solver(prob, mesh, engine="pallas", tile_s=2, tile_l=8)(
+        shard_bank(thetas, mesh), shard_bank(U0, mesh)
+    )
+
+    tp_step = make_bank_solver(
+        prob, mesh, engine="two_pass",
+        capacity=8, tile_s=2, tile_l=8, rescue_tile_s=2,
+    )
+    tp, _ = tp_step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    assert np.all(
+        np.asarray(tp.kkt_residual) <= np.asarray(ref.kkt_residual) + 1e-6
+    )
+
+    ms_step = make_bank_solver(
+        prob, mesh, engine="multistart_bank", swing_fracs=(1.0,),
+        tile_s=2, tile_l=8,
+    )
+    ms, _ = ms_step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    ref_cost = np.where(np.isnan(np.asarray(ref.cost)), np.inf, np.asarray(ref.cost))
+    assert np.all(np.asarray(ms.cost) <= ref_cost + 1e-4)
+
+
 def test_pallas_engine_solves_terminal_cost_problems():
     """Terminal-weight tracking problems (the corrected parking mode) run on
     the sharded Pallas engine and match the vmap engine — the round-3

@@ -37,6 +37,11 @@ def test_ledgers_scale_and_vectorize():
     # tracking ledger has the same shape properties
     tr = rl.tracking_solve_flops(20, 0.0, 60, 180)
     assert 0 < tr.sincos < base.sincos  # Euler needs 3x fewer trig than RK4
+    # fast_sincos accounting: sincos ops convert to arith at 10.5 each
+    fast = rl.point_stab_solve_flops(20, 0.0, 60, 180, fast_sincos=True)
+    assert fast.sincos == 0.0
+    assert fast.arith == pytest.approx(base.arith + base.sincos * 10.5)
+    assert fast.exp == base.exp and fast.log == base.log
 
 
 def test_computed_obstacle_points_matches_kernel_model():
