@@ -83,11 +83,12 @@ def main():
     try:
         from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_point_stab_solver
 
-        # tile_s=16 is the measured best for obstacle-inert banks (the
-        # dynamic obstacle skip leaves VMEM headroom for double sublane
-        # tiles); obstacle-active banks below re-jit at the default (8, 128)
-        # where the 160-point obstacle buffers fit without spills.
-        solve = jax.jit(make_pallas_point_stab_solver(prob.ocp, prob.settings, tile_s=16))
+        # tile_s=32 (one 4096-scenario tile for the whole bank) is the
+        # measured best across inert AND obstacle-active banks since the
+        # fast-sincos change: grid-step overhead beats line-search convoy,
+        # and VMEM holds the full working set (measured: 484k/823k/1077k/
+        # 1182k solves/s at tile_s=4/8/16/32 on the inert bank).
+        solve = jax.jit(make_pallas_point_stab_solver(prob.ocp, prob.settings, tile_s=32))
         sols = solve(thetas, U0)
         jax.block_until_ready(sols)
     except Exception as e:  # noqa: BLE001
@@ -189,9 +190,9 @@ def main():
             jnp.asarray(x0), jnp.asarray(goal), jnp.asarray(obs_x), jnp.asarray(obs_y)
         )
         if engine == "pallas":
-            # default (8, 128) tiles: measured best when the obstacle
-            # buffers are live (tile_s=16 spills VMEM on this path)
-            solve_c = jax.jit(make_pallas_point_stab_solver(prob.ocp, prob.settings))
+            solve_c = jax.jit(
+                make_pallas_point_stab_solver(prob.ocp, prob.settings, tile_s=32)
+            )
         else:
             solve_c = solve
         sols_c = solve_c(thetas_c, U0)
@@ -232,7 +233,7 @@ def main():
 
         solve_tp = jax.jit(
             make_pallas_two_pass_point_stab(
-                prob.ocp, SolverSettings.fast(), capacity=512
+                prob.ocp, SolverSettings.fast(), capacity=512, tile_s=32
             )
         )
         sols_tp = solve_tp(thetas_c, U0)
@@ -301,11 +302,11 @@ def main():
         )
         thetas_s, U0_s = adversarial_saddle_bank(prob_s, BATCH, seed=0)
         plain_s = jax.jit(
-            make_pallas_point_stab_solver(prob_s.ocp, prob_s.settings)
+            make_pallas_point_stab_solver(prob_s.ocp, prob_s.settings, tile_s=32)
         )
         ms_s = jax.jit(
             make_bank_multistart_solver(
-                prob_s.ocp, prob_s.settings, swing_fracs=(1.0,)
+                prob_s.ocp, prob_s.settings, swing_fracs=(1.0,), tile_s=32
             )
         )
         sols_sp = plain_s(thetas_s, U0_s)
@@ -348,8 +349,7 @@ def main():
         try:
             from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_tracking_solver
 
-            # tile_s=16: measured best for the (obstacle-inert) tracking bank
-            solve_t = jax.jit(make_pallas_tracking_solver(prob_t.ocp, prob_t.settings, tile_s=16))
+            solve_t = jax.jit(make_pallas_tracking_solver(prob_t.ocp, prob_t.settings, tile_s=32))
             engine_t = "pallas"
             sols_t = solve_t(thetas_t, U0)
             jax.block_until_ready(sols_t)
@@ -378,7 +378,7 @@ def main():
         prob_f = _mk(params, horizon=N_HORIZON, settings=SolverSettings.fast())
         from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_point_stab_solver as _mk_pl
 
-        solve_f = jax.jit(_mk_pl(prob_f.ocp, prob_f.settings, tile_s=16))
+        solve_f = jax.jit(_mk_pl(prob_f.ocp, prob_f.settings, tile_s=32))
         sols_f = solve_f(thetas, U0)
         jax.block_until_ready(sols_f)
         tf = []
@@ -512,7 +512,7 @@ def main():
         if engine == "pallas":
             solve_cnt = jax.jit(
                 make_pallas_point_stab_solver(
-                    prob.ocp, prob.settings, tile_s=16, with_counters=True
+                    prob.ocp, prob.settings, tile_s=32, with_counters=True
                 )
             )
             _, cnt = jax.block_until_ready(solve_cnt(thetas, U0))
@@ -542,7 +542,7 @@ def main():
             if thetas_c is not None and "corrected_obstacle_solves_per_s" in secondary:
                 solve_c_cnt = jax.jit(
                     make_pallas_point_stab_solver(
-                        prob.ocp, prob.settings, with_counters=True
+                        prob.ocp, prob.settings, tile_s=32, with_counters=True
                     )
                 )
                 _, cnt_c = jax.block_until_ready(solve_c_cnt(thetas_c, U0))
