@@ -369,6 +369,31 @@ def main():
         secondary["tracking_converged_frac"] = round(
             float(jnp.mean(sols_t.converged.astype(jnp.float32))), 4
         )
+
+        # tracking two-pass rescue (solver/rescue.py tracking twin): kills
+        # the tracking bank's own straggler tail in one jit
+        if engine_t == "pallas":
+            from ros2_mpc_tpu.solver import make_pallas_two_pass_tracking
+
+            solve_t2 = jax.jit(
+                make_pallas_two_pass_tracking(
+                    prob_t.ocp, SolverSettings.fast(), capacity=512, tile_s=32
+                )
+            )
+            sols_t2 = solve_t2(thetas_t, U0)
+            jax.block_until_ready(sols_t2)
+            tt2 = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                outs = [solve_t2(thetas_t, U0) for _ in range(8)]
+                jax.block_until_ready(outs)
+                tt2.append(time.perf_counter() - t0)
+            secondary["tracking_two_pass_solves_per_s"] = round(
+                8 * BATCH / min(tt2), 1
+            )
+            secondary["tracking_two_pass_converged_frac"] = round(
+                float(jnp.mean(sols_t2.converged.astype(jnp.float32))), 4
+            )
     except Exception as e:  # noqa: BLE001
         print(f"tracking bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -21,6 +21,7 @@ from .multistart_bank import (
 )
 from .rescue import (
     make_pallas_two_pass_point_stab,
+    make_pallas_two_pass_tracking,
     make_two_pass_solver,
     rescue_schedule,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "make_smooth_point_stabilization",
     "make_two_pass_solver",
     "make_pallas_two_pass_point_stab",
+    "make_pallas_two_pass_tracking",
     "rescue_schedule",
     "make_bank_multistart_solver",
     "adversarial_saddle_bank",

@@ -151,3 +151,37 @@ def make_pallas_two_pass_point_stab(
         ocp, rescue_settings, interpret=interpret, tile_s=rescue_tile_s, tile_l=tile_l
     )
     return make_two_pass_solver(first, rescue, capacity)
+
+
+def make_pallas_two_pass_tracking(
+    ocp: OCP,
+    settings: SolverSettings = SolverSettings(),
+    *,
+    capacity: int = 512,
+    rescue_settings: Optional[SolverSettings] = None,
+    interpret: bool = False,
+    tile_s: int = 8,
+    tile_l: int = 128,
+    rescue_tile_s: Optional[int] = None,
+):
+    """The tracking twin of :func:`make_pallas_two_pass_point_stab`: Pallas
+    tracking first pass + compacted cold/warm rescue, one jit (terminal
+    weights and obstacle terms included — the kernel carries them in theta)."""
+    from .pallas_kernel import make_pallas_tracking_solver
+
+    rescue_settings = rescue_settings or rescue_schedule()
+    rbank = 2 * capacity
+    if rescue_tile_s is None:
+        rescue_tile_s = max(1, rbank // tile_l)
+    if rbank % (rescue_tile_s * tile_l):
+        raise ValueError(
+            f"rescue bank {rbank} must be a multiple of rescue tile "
+            f"{rescue_tile_s}x{tile_l}"
+        )
+    first = make_pallas_tracking_solver(
+        ocp, settings, interpret=interpret, tile_s=tile_s, tile_l=tile_l
+    )
+    rescue = make_pallas_tracking_solver(
+        ocp, rescue_settings, interpret=interpret, tile_s=rescue_tile_s, tile_l=tile_l
+    )
+    return make_two_pass_solver(first, rescue, capacity)

@@ -114,6 +114,49 @@ def test_two_pass_pallas_interpret_smoke():
     assert np.all(np.isfinite(np.asarray(sols2.U)))
 
 
+def test_two_pass_tracking_interpret_smoke():
+    """The tracking twin (Pallas tracking first pass + rescue, one jit)
+    improves convergence on an obstacle-active tracking bank."""
+    from ros2_mpc_tpu.solver import make_pallas_two_pass_tracking, make_tracking
+    from ros2_mpc_tpu.solver.pallas_kernel import make_pallas_tracking_solver
+
+    prob = make_tracking(PARAMS, horizon=N, reference_parity=False)
+    B = 32
+    rng = np.random.default_rng(6)
+    x0 = rng.uniform(-0.2, 0.2, size=(B, 3))
+    ts = np.arange(1, N + 1) * PARAMS.dt
+    x_ref = np.stack(
+        [x0[:, 0:1] + 0.15 * ts[None], np.zeros((B, N)), np.zeros((B, N))], axis=2
+    )
+    u_ref = np.tile([0.15, 0.0], (B, N, 1))
+    n_obs = PARAMS.n_obstacle_points
+    ox = np.full((B, n_obs), 100.0)
+    oy = np.full((B, n_obs), 100.0)
+    ox[:, 0] = rng.uniform(0.3, 0.6, size=B)
+    oy[:, 0] = rng.uniform(-0.1, 0.1, size=B)
+    thetas = jax.vmap(prob.make_theta)(
+        jnp.asarray(x0), jnp.asarray(x_ref), jnp.asarray(u_ref),
+        jnp.asarray(ox), jnp.asarray(oy),
+    )
+    U0 = jnp.zeros((B, N, 2))
+    tp = jax.jit(
+        make_pallas_two_pass_tracking(
+            prob.ocp, WEAK, capacity=8, rescue_settings=STRONG,
+            interpret=True, tile_s=2, tile_l=8, rescue_tile_s=2,
+        )
+    )
+    sols2 = tp(thetas, U0)
+    sols1 = make_pallas_tracking_solver(
+        prob.ocp, WEAK, interpret=True, tile_s=2, tile_l=8
+    )(thetas, U0)
+    assert float(jnp.mean(sols2.converged.astype(jnp.float32))) >= float(
+        jnp.mean(sols1.converged.astype(jnp.float32))
+    )
+    assert np.all(
+        np.asarray(sols2.kkt_residual) <= np.asarray(sols1.kkt_residual) + 1e-6
+    )
+
+
 def test_two_pass_rejects_bad_rescue_tile():
     from ros2_mpc_tpu.solver import make_pallas_two_pass_point_stab
 
