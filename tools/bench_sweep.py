@@ -1,7 +1,8 @@
 """Monte-Carlo tuning sweep at BASELINE config-5 scale, on the available
 hardware: 25 (Q, R) weight configs x 4096 scenarios = 102,400 N=20 NMPC
 solves per sweep tick (the "~100k solves/tick" target), evaluated with the
-whole-solver Pallas kernel. Writes a JSON artifact (default SWEEP_r02.json).
+whole-solver Pallas kernel. Writes a JSON artifact (default SWEEP.json;
+pass the output path as argv[1] — e.g. SWEEP_r04.json per round).
 
 On a multi-host slice the same sweep shards over the global mesh
 (parallel/mesh.py + parallel/distributed.py); this artifact records the
@@ -21,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(out_path: str = "SWEEP_r02.json"):
+def main(out_path: str = "SWEEP.json"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu_mpc")
