@@ -13,6 +13,7 @@ from .problems import (
 )
 from .problems_ext import (
     make_bicycle_point_stabilization,
+    make_quadrotor_hover,
     make_smooth_point_stabilization,
 )
 from .multistart_bank import (
@@ -42,6 +43,7 @@ __all__ = [
     "make_hybrid_solver",
     "make_multistart_solver",
     "make_bicycle_point_stabilization",
+    "make_quadrotor_hover",
     "make_smooth_point_stabilization",
     "make_two_pass_solver",
     "make_pallas_two_pass_point_stab",

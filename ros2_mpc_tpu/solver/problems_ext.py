@@ -5,7 +5,7 @@ three near-duplicate CasADi classes; adding a vehicle there means writing a
 fourth symbolic ``Mpc`` class from scratch. Here the solver is generic over
 the :class:`~.ilqr.OCP` template — any ``transition``/``stage_cost`` with
 any (n_states, n_controls) — so new model families are a page of pure
-functions. Two are shipped as proof and as useful capabilities:
+functions. Three are shipped as proof and as useful capabilities:
 
 * :func:`make_bicycle_point_stabilization` — kinematic bicycle (Ackermann /
   car-like, ``models/bicycle.py``): drive-to-pose with steering-angle
@@ -14,8 +14,12 @@ functions. Two are shipped as proof and as useful capabilities:
   (``models/unicycle_dyn.py``): accelerations are the controls, so command
   rate limiting is optimized in the OCP instead of clamped on the host
   (the reference's quirk-#6 slew hack).
+* :func:`make_quadrotor_hover` — 12-state / 4-control quadrotor
+  (``models/quadrotor.py``): fly-to-pose with thrust/torque bounds; the
+  family where the generic engines' exact quadratization runs on 16x16
+  stage blocks instead of the unicycle's 5x5.
 
-Both return the standard :class:`~.problems.Problem`, so ``jax.vmap``
+All return the standard :class:`~.problems.Problem`, so ``jax.vmap``
 scenario banks, ``parallel.mesh.make_bank_solver(engine='vmap'|'mppi'|
 'hybrid')`` mesh sharding, and the MPPI/hybrid engines compose unchanged.
 The lane-aligned and Pallas engines hard-code the reference unicycle
@@ -29,7 +33,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from ..config import Params
-from ..models import bicycle, unicycle_dyn
+from ..models import bicycle, quadrotor, unicycle_dyn
 from ..ops import costs
 from ..ops.integrators import make_step
 from .ilqr import OCP, SolverSettings, make_solver
@@ -197,5 +201,91 @@ def make_smooth_point_stabilization(
         ocp=ocp,
         settings=settings,
         kind="smooth",
+        tags=("terminal_cost",),
+    )
+
+
+def make_quadrotor_hover(
+    *,
+    mass: float = 0.5,
+    inertia: tuple = (2.3e-3, 2.3e-3, 4.0e-3),
+    tau_max: float = 0.02,
+    dt: float = 0.05,
+    horizon: int = 30,
+    settings: Optional[SolverSettings] = None,
+) -> Problem:
+    """Fly-to-pose NMPC for a 12-state quadrotor (``models/quadrotor.py``).
+
+    The control box is physical: thrust in [0, 2 m g] (a rotor cannot pull)
+    and body torques in [-tau_max, tau_max]; the interior-point treatment
+    handles the asymmetric 4-dim box exactly like the unicycle's 2-dim one.
+    ``default_u0`` tiles the analytic hover input — the natural warm start
+    for a platform whose zero-control trajectory is free fall.
+
+    theta keys: ``x0`` (12,), ``goal`` (4: x, y, z, yaw), ``Qp``, ``Qv``,
+    ``Qatt``, ``Qw`` (scalars), ``R`` (4,), ``terminal_weight``.
+    """
+    N = horizon
+    F = make_step(quadrotor.make_f(mass, inertia), "rk4", dt)
+    u_hover = quadrotor.hover_control(mass)
+
+    def _errors(x, theta):
+        ep = x[0:3] - theta["goal"][0:3]
+        epsi = x[8] - theta["goal"][3]
+        return ep, x[3:6], x[6], x[7], epsi, x[9:12]
+
+    def stage_cost(x, u, k, theta):
+        ep, v, phi, th, epsi, w = _errors(x, theta)
+        eu = u - u_hover
+        return (
+            theta["Qp"] * jnp.sum(ep * ep)
+            + theta["Qv"] * jnp.sum(v * v)
+            + theta["Qatt"] * (phi * phi + th * th + epsi * epsi)
+            + theta["Qw"] * jnp.sum(w * w)
+            + costs.quadratic_error(eu, theta["R"])
+        )
+
+    def terminal_cost(x, theta):
+        ep, v, phi, th, epsi, w = _errors(x, theta)
+        return theta["terminal_weight"] * (
+            jnp.sum(ep * ep)
+            + jnp.sum(v * v)
+            + phi * phi
+            + th * th
+            + epsi * epsi
+            + jnp.sum(w * w)
+        )
+
+    ocp = OCP(
+        transition=F,
+        stage_cost=stage_cost,
+        terminal_cost=terminal_cost,
+        horizon=N,
+        n_states=quadrotor.N_STATES,
+        n_controls=quadrotor.N_CONTROLS,
+        u_lo=(0.0, -tau_max, -tau_max, -tau_max),
+        u_hi=(2.0 * mass * quadrotor.GRAVITY, tau_max, tau_max, tau_max),
+    )
+    settings = settings or SolverSettings()
+
+    def make_theta(x0, goal):
+        return {
+            "x0": jnp.asarray(x0, dtype=float),
+            "goal": jnp.asarray(goal, dtype=float).reshape(4),
+            "Qp": jnp.asarray(1.0),
+            "Qv": jnp.asarray(0.1),
+            "Qatt": jnp.asarray(0.5),
+            "Qw": jnp.asarray(0.01),
+            "R": jnp.asarray([0.1, 10.0, 10.0, 10.0]),
+            "terminal_weight": jnp.asarray(10.0),
+        }
+
+    return Problem(
+        solve=make_solver(ocp, settings),
+        make_theta=make_theta,
+        default_u0=jnp.tile(u_hover, (N, 1)),
+        ocp=ocp,
+        settings=settings,
+        kind="quadrotor",
         tags=("terminal_cost",),
     )

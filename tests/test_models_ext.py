@@ -1,6 +1,7 @@
 """Beyond-reference model families (solver/problems_ext.py): the solver core
-is generic over the OCP template, so a kinematic bicycle and a
-smooth-actuation unicycle drop in without touching the engines. Dynamics are
+is generic over the OCP template, so a kinematic bicycle, a
+smooth-actuation unicycle, and a 12-state quadrotor drop in without
+touching the engines. Dynamics are
 pinned against analytic closed forms; solves against KKT optimality and
 goal-reaching rollouts; the unicycle-specialized engines must reject these
 kinds loudly."""
@@ -144,3 +145,71 @@ def test_sweep_runs_on_new_model_families():
         out = run_sweep(prob, spec, mesh=mesh, engine="vmap")
         assert out["mean_goal_error"].shape == (2,)
         assert np.isfinite(out["mean_goal_error"]).all()
+
+
+def test_quadrotor_hover_is_dynamics_fixed_point():
+    """The analytic hover input (m g, 0, 0, 0) holds any level zero-rate
+    pose exactly (models/quadrotor.py contract)."""
+    from ros2_mpc_tpu.models import quadrotor
+    from ros2_mpc_tpu.ops.integrators import make_step
+
+    F = make_step(quadrotor.make_f(), "rk4", 0.05)
+    x = jnp.array([1.0, -2.0, 3.0, 0, 0, 0, 0, 0, 0.7, 0, 0, 0])
+    x1 = F(x, quadrotor.hover_control())
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x), atol=1e-6)
+    # free fall without thrust: zdot after one step ~ -g*dt
+    x2 = F(x, jnp.zeros(4))
+    assert float(x2[5]) == pytest.approx(-9.81 * 0.05, rel=1e-3)
+
+
+def test_quadrotor_hover_solver_flies_to_pose():
+    """The generic iLQR stabilizes the 12-state platform from a perturbed
+    start (offset + tilt + rate): 16x16 stage quadratization, asymmetric
+    4-dim control box, hover warm start."""
+    from ros2_mpc_tpu.solver import make_quadrotor_hover
+
+    prob = make_quadrotor_hover(horizon=30)
+    x0 = jnp.array([0.4, -0.3, -0.2, 0, 0, 0, 0.15, -0.1, 0.3, 0, 0, 0])
+    goal = jnp.array([0.0, 0.0, 0.0, 0.0])
+    theta = prob.make_theta(x0, goal)
+    sol = jax.jit(prob.solve)(theta, prob.default_u0)
+    X = np.asarray(sol.X)
+    assert np.all(np.isfinite(X))
+    # terminal state near the goal pose, level, slow
+    assert np.linalg.norm(X[-1, 0:3]) < 0.08, X[-1, 0:3]
+    assert np.linalg.norm(X[-1, 3:6]) < 0.15
+    assert abs(X[-1, 6]) < 0.06 and abs(X[-1, 7]) < 0.06
+    assert abs(X[-1, 8]) < 0.1
+    # controls respect the physical box (thrust cannot pull)
+    U = np.asarray(sol.U)
+    assert U[:, 0].min() >= 0.0
+    assert np.abs(U[:, 1:]).max() <= 0.02 + 1e-9
+    assert bool(sol.converged) or float(sol.kkt_residual) < 1e-3
+
+
+def test_quadrotor_bank_and_mesh_vmap_engine():
+    """Scenario banks + mesh sharding compose unchanged for the 12-state
+    family; the specialized engines reject it loudly."""
+    from ros2_mpc_tpu.parallel import make_bank_solver, make_mesh, shard_bank
+    from ros2_mpc_tpu.solver import make_quadrotor_hover
+
+    prob = make_quadrotor_hover(horizon=12)
+    B = 16
+    rng = np.random.default_rng(2)
+    x0 = np.zeros((B, 12))
+    x0[:, 0:3] = rng.uniform(-0.3, 0.3, size=(B, 3))
+    x0[:, 6:8] = rng.uniform(-0.1, 0.1, size=(B, 2))
+    goal = np.concatenate(
+        [rng.uniform(-0.2, 0.2, size=(B, 3)), rng.uniform(-0.3, 0.3, size=(B, 1))],
+        axis=1,
+    )
+    thetas = jax.vmap(prob.make_theta)(jnp.asarray(x0), jnp.asarray(goal))
+    U0 = jnp.tile(prob.default_u0[None], (B, 1, 1))
+    mesh = make_mesh()
+    step = make_bank_solver(prob, mesh, engine="vmap")
+    sols, metrics = step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    assert np.all(np.isfinite(np.asarray(sols.U)))
+    assert np.isfinite(float(metrics["mean_cost"]))
+    for engine in ("fast", "pallas"):
+        with pytest.raises(ValueError, match="unicycle structure"):
+            make_bank_solver(prob, mesh, engine=engine)
