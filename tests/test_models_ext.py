@@ -213,3 +213,36 @@ def test_quadrotor_bank_and_mesh_vmap_engine():
     for engine in ("fast", "pallas"):
         with pytest.raises(ValueError, match="unicycle structure"):
             make_bank_solver(prob, mesh, engine=engine)
+
+
+def test_quadrotor_receding_horizon_closed_loop():
+    """The full MPC loop on the 12-state family: solve, fly the first
+    control on an RK4 plant, shift-warm-start, repeat — reaches and holds
+    the goal pose (the pattern every follower node runs, on a platform the
+    reference cannot express)."""
+    from ros2_mpc_tpu.models import quadrotor
+    from ros2_mpc_tpu.ops.integrators import make_step
+    from ros2_mpc_tpu.solver import SolverSettings, make_quadrotor_hover, shift_controls
+
+    dt = 0.05
+    prob = make_quadrotor_hover(
+        horizon=20, dt=dt,
+        settings=SolverSettings(barrier_stages=4, iters_per_stage=4, n_alphas=6,
+                                mu_init=1e-2),
+    )
+    plant = make_step(quadrotor.make_f(), "rk4", dt)
+    solve = jax.jit(prob.solve)
+    goal = jnp.array([0.5, -0.4, 0.3, 0.0])
+    x = jnp.array([0.0, 0.0, 0.0, 0, 0, 0, 0.1, -0.1, 0.4, 0, 0, 0])
+    warm = prob.default_u0
+    hover = quadrotor.hover_control()
+    for _ in range(60):  # 3 s of flight
+        sol = solve(prob.make_theta(x, goal), warm)
+        u0 = jnp.where(jnp.isfinite(sol.U[0]), sol.U[0], hover)
+        x = plant(x, u0)
+        warm = shift_controls(sol.U)
+    xf = np.asarray(x)
+    assert np.all(np.isfinite(xf))
+    assert np.linalg.norm(xf[0:3] - [0.5, -0.4, 0.3]) < 0.05, xf[0:3]
+    assert np.linalg.norm(xf[3:6]) < 0.05  # hovering, not passing through
+    assert abs(xf[6]) < 0.03 and abs(xf[7]) < 0.03  # level
