@@ -76,8 +76,10 @@ def make_bank_solver(
 
     * ``'vmap'`` — the reference engine (solver/ilqr.py), partitioned by
       GSPMD from the in/out shardings alone.
-    * ``'fast'`` — the lane-aligned bank engine (solver/batched.py). On a
-      multi-device mesh it is wrapped in ``shard_map`` so its internal
+    * ``'fast'`` — the lane-aligned bank engine (solver/batched.py),
+      model-generic over small (n, m) OCPs: the unicycle families AND the
+      ext families (bicycle, smooth, quadrotor) all run at bank throughput.
+      On a multi-device mesh it is wrapped in ``shard_map`` so its internal
       ``(B/lanes, lanes)`` reshape happens per shard — GSPMD would otherwise
       have to reshard the lane-minor layout across devices. Per-device batch
       must be a multiple of ``lanes`` (default 128).
@@ -119,13 +121,14 @@ def make_bank_solver(
     replicate = NamedSharding(mesh, P())
 
     kind = getattr(problem, "kind", "point_stabilization")
-    if engine in ("fast", "pallas") and kind not in (
+    if engine == "pallas" and kind not in (
         "point_stabilization", "tracking", "legacy",
     ):
         raise ValueError(
-            f"engine='{engine}' hard-codes the reference unicycle structure; "
-            f"problem kind {kind!r} (model-generic family) needs "
-            "engine='vmap' | 'mppi' | 'hybrid' | 'multistart'"
+            f"engine='pallas' hard-codes the reference unicycle structure; "
+            f"problem kind {kind!r} (model-generic family) runs at bank "
+            "throughput via engine='fast' (the generic lane-aligned engine) "
+            "or via 'vmap' | 'mppi' | 'hybrid' | 'multistart'"
         )
     if engine in ("two_pass", "multistart_bank") and kind not in (
         "point_stabilization", "legacy",

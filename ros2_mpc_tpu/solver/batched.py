@@ -7,16 +7,31 @@ wasted HBM traffic and VPU lanes on every op of every scan step.
 
 This engine keeps the scenario batch as the two *minor* dims, shaped
 ``batch_shape = (B // 128, 128)`` — a perfect float32 (8, 128) tiling — and
-unrolls the tiny 3x3/2x2 linear algebra into explicit component arithmetic
-on (..., B1, B2) arrays, which XLA fuses into full-width VPU loops:
+unrolls the tiny n x n / m x m linear algebra into explicit component
+arithmetic on (..., B1, B2) arrays, which XLA fuses into full-width VPU
+loops:
 
 * states/controls: (n, B1, B2); per-stage stacks lead with N;
-* Jacobians A (3, 3, B1, B2), B (3, 2, B1, B2) built from ``jax.jvp``
+* Jacobians A (n, n, B1, B2), B (n, m, B1, B2) built from ``jax.jvp``
   basis columns (elementwise primitives preserve the trailing batch dims);
 * stage-cost gradients via ``jax.grad`` of the batch-summed cost (exact,
-  since scenarios are separable), Hessians via 5 forward-over-reverse jvps;
+  since scenarios are separable), Hessians via n+m forward-over-reverse
+  jvps;
 * the Riccati backward/forward sweeps, Armijo line search, acceptance and
   Levenberg regularization are all per-scenario (masks shaped (B1, B2)).
+
+The engine is **model-generic over small OCPs**: any
+:class:`~ros2_mpc_tpu.solver.ilqr.OCP` whose ``transition``/``stage_cost``
+are written with trailing-component batched semantics (``x[..., i]`` +
+``stack(axis=-1)`` — every model in ``models/``) and whose (n, m) are small
+enough to unroll (n <= 16, m <= 8 is the sane envelope) runs at bank
+throughput. The m x m ``Quu`` solve dispatches on m: the 2-control
+platforms (unicycle, bicycle, smooth) take the closed-form 2x2 inverse;
+anything larger (the 4-control quadrotor) takes the unrolled component
+Cholesky :func:`_chol_solve` with the same PD safeguard. The reference's
+solver layer was model-generic too (one ``get_system_function`` plugged
+into CasADi, ros2_mpc/planner/local_planner_tracking.py:161-178) — this is
+the bank-scale equivalent.
 
 Same algorithm and schedule as :mod:`~ros2_mpc_tpu.solver.ilqr` (log-barrier
 continuation interior-point iLQR) — tests assert the two engines agree.
@@ -85,6 +100,69 @@ def _solve2x2(M, rhs_cols):
     return jnp.stack([x0, x1]), (a, b, c, d)
 
 
+def _chol_factor(M):
+    """Unrolled Cholesky of (m, m, *bs) component stacks.
+
+    Returns (L rows-of-lists, min_pivot) where L[i][k] (k <= i) are the
+    factor components and ``min_pivot`` is the smallest diagonal pivot seen
+    before the sqrt clamp — the PD certificate for the safeguard."""
+    m = M.shape[0]
+    L = [[None] * m for _ in range(m)]
+    min_piv = None
+    for i in range(m):
+        s = M[i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        min_piv = s if min_piv is None else jnp.minimum(min_piv, s)
+        d = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L[i][i] = d
+        inv_d = 1.0 / d
+        for j in range(i + 1, m):
+            t = M[j, i]
+            for k in range(i):
+                t = t - L[j][k] * L[i][k]
+            L[j][i] = t * inv_d
+    return L, min_piv
+
+
+def _chol_solve(M, rhs_cols):
+    """Solve M X = rhs for m x m SPD-safeguarded M via unrolled Cholesky.
+
+    The generic-(n, m) twin of :func:`_solve2x2` (the m=2 closed form stays
+    the fast path): ``M`` is (m, m, *bs) component-stacked, ``rhs_cols`` is
+    (m, n_rhs, *bs). Lost positive-definiteness is detected by the
+    factorization's own pivots and answered with the same heavy diagonal
+    loading as the 2x2 path (the Levenberg outer loop then backs the step
+    off). Everything is unrolled component arithmetic on (*bs,) arrays, so
+    the whole solve fuses into full-width VPU loops like the rest of the
+    engine — no batched ``linalg`` calls, no (m, m) minor-dim tiles."""
+    m = M.shape[0]
+    _, min_piv = _chol_factor(M)
+    bad = min_piv <= 1e-12
+    load = jnp.where(bad, 1e3, 0.0)
+    M = M + load * jnp.reshape(jnp.eye(m), (m, m) + (1,) * (M.ndim - 2))
+    L, _ = _chol_factor(M)
+    n_rhs = rhs_cols.shape[1]
+    cols = []
+    for j in range(n_rhs):
+        # forward substitution: L y = rhs[:, j]
+        y = [None] * m
+        for i in range(m):
+            t = rhs_cols[i, j]
+            for k in range(i):
+                t = t - L[i][k] * y[k]
+            y[i] = t / L[i][i]
+        # back substitution: L^T x = y
+        x = [None] * m
+        for i in reversed(range(m)):
+            t = y[i]
+            for k in range(i + 1, m):
+                t = t - L[k][i] * x[k]
+            x[i] = t / L[i][i]
+        cols.append(jnp.stack(x))
+    return jnp.stack(cols, axis=1)  # (m, n_rhs, *bs)
+
+
 def _batch_last(leaf, B, bs):
     """(B, *s) -> (*s, B1, B2)."""
     moved = jnp.moveaxis(leaf, 0, -1)
@@ -97,14 +175,43 @@ def _batch_first(arr, B, bs):
     return jnp.moveaxis(flat, -1, 0)
 
 
+def _probe_batch_semantics(F, n, m):
+    """Build-time guard: the engine's ``step`` adapter hands ``F`` arrays
+    with trailing batch dims and trusts broadcasting. A transition written
+    with scalar-only semantics (e.g. ``x[2]`` instead of ``x[..., 2]``)
+    would produce silently wrong banks — catch it here with one concrete
+    2x2 probe against the vmapped truth."""
+    bs = (2, 2)
+    xt = jnp.moveaxis(jnp.linspace(-0.3, 0.3, n * 4).reshape((n,) + bs), 0, -1)
+    ut = jnp.moveaxis(jnp.linspace(-0.1, 0.1, m * 4).reshape((m,) + bs), 0, -1)
+    try:
+        batched = F(xt, ut)
+    except Exception as e:  # pragma: no cover - shape errors vary by model
+        raise ValueError(
+            "lane-aligned engine needs a transition with (..., n) batched "
+            f"semantics (models/ style); F raised on a batched probe: {e}"
+        ) from e
+    looped = jax.vmap(jax.vmap(F))(xt, ut)
+    if batched.shape != looped.shape or not bool(
+        jnp.allclose(batched, looped, atol=1e-5)
+    ):
+        raise ValueError(
+            "lane-aligned engine needs a transition with (..., n) batched "
+            "semantics: F(x_batch, u_batch) disagrees with vmap(F) on a probe"
+        )
+
+
 def make_bank_solver_fast(ocp: OCP, settings: SolverSettings = SolverSettings(), lanes: int = 128):
     """Build ``solve_bank(thetas, U0s) -> Solution`` over a B-leading bank.
 
     ``B`` must be a multiple of ``lanes`` (pad the bank if not). The returned
     function is jit-compatible; under pjit the minor batch dims shard like
-    any other.
+    any other. Model-generic: any small-(n, m) OCP with batch-safe
+    ``transition``/costs (see the module docstring); a build-time probe
+    rejects transitions with scalar-only semantics.
     """
     N, n, m = ocp.horizon, ocp.n_states, ocp.n_controls
+    _probe_batch_semantics(ocp.transition, n, m)
     F = ocp.transition
     u_lo1 = jnp.asarray(ocp.u_lo)
     u_hi1 = jnp.asarray(ocp.u_hi)
@@ -261,7 +368,10 @@ def make_bank_solver_fast(ocp: OCP, settings: SolverSettings = SolverSettings(),
                 Quu = Quu.at[i, i].add(reg)
             Quu = _sym(Quu)
             rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)  # (m, 1+n, *bs)
-            sol, _ = _solve2x2(Quu, rhs)
+            if m == 2:
+                sol, _ = _solve2x2(Quu, rhs)
+            else:
+                sol = _chol_solve(Quu, rhs)
             kff = -sol[:, 0]
             K = -sol[:, 1:]
             Kt = _transpose(K)

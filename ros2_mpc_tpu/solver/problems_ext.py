@@ -20,10 +20,14 @@ functions. Three are shipped as proof and as useful capabilities:
   stage blocks instead of the unicycle's 5x5.
 
 All return the standard :class:`~.problems.Problem`, so ``jax.vmap``
-scenario banks, ``parallel.mesh.make_bank_solver(engine='vmap'|'mppi'|
-'hybrid')`` mesh sharding, and the MPPI/hybrid engines compose unchanged.
-The lane-aligned and Pallas engines hard-code the reference unicycle
-structure and reject these kinds loudly (parallel/mesh.py).
+scenario banks, ``parallel.mesh.make_bank_solver`` mesh sharding, and the
+MPPI/hybrid engines compose unchanged. The lane-aligned bank engine
+(``solver/batched.py``) is model-generic over small (n, m) OCPs, so these
+families get bank-scale throughput via ``engine='fast'`` too — the
+quadrotor's 4x4 ``Quu`` solves route through the unrolled component
+Cholesky. Only the whole-solver Pallas kernels remain unicycle-specific
+(hand-derived Jacobian closed forms) and reject these kinds loudly
+(parallel/mesh.py).
 """
 
 from __future__ import annotations

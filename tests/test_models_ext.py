@@ -3,8 +3,9 @@ is generic over the OCP template, so a kinematic bicycle, a
 smooth-actuation unicycle, and a 12-state quadrotor drop in without
 touching the engines. Dynamics are
 pinned against analytic closed forms; solves against KKT optimality and
-goal-reaching rollouts; the unicycle-specialized engines must reject these
-kinds loudly."""
+goal-reaching rollouts. The lane-aligned bank engine is model-generic
+(bank-parity tests live in test_batched_generic.py); only the Pallas
+kernels are unicycle-specialized and must reject these kinds loudly."""
 
 import jax
 import jax.numpy as jnp
@@ -120,9 +121,13 @@ def test_new_kinds_shard_with_vmap_engine_and_reject_specialized():
     assert len(sols.U.sharding.device_set) == 8
     assert np.isfinite(float(metrics["mean_cost"]))
 
-    for engine in ("fast", "pallas"):
-        with pytest.raises(ValueError, match="unicycle structure"):
-            make_bank_solver(prob, mesh, engine=engine)
+    # the generic lane-aligned engine shards these kinds too (per-device
+    # batch B/8 = 2 lanes here); only the Pallas kernels reject
+    step_f = make_bank_solver(prob, mesh, engine="fast", lanes=2)
+    sols_f, _ = step_f(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    np.testing.assert_allclose(np.asarray(sols_f.U), np.asarray(sols.U), atol=1e-3)
+    with pytest.raises(ValueError, match="unicycle structure"):
+        make_bank_solver(prob, mesh, engine="pallas")
 
     from ros2_mpc_tpu.parallel.fleet import make_fleet_rollout
 
@@ -189,7 +194,7 @@ def test_quadrotor_hover_solver_flies_to_pose():
 
 def test_quadrotor_bank_and_mesh_vmap_engine():
     """Scenario banks + mesh sharding compose unchanged for the 12-state
-    family; the specialized engines reject it loudly."""
+    family; the Pallas kernels reject it loudly."""
     from ros2_mpc_tpu.parallel import make_bank_solver, make_mesh, shard_bank
     from ros2_mpc_tpu.solver import make_quadrotor_hover
 
@@ -210,9 +215,8 @@ def test_quadrotor_bank_and_mesh_vmap_engine():
     sols, metrics = step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
     assert np.all(np.isfinite(np.asarray(sols.U)))
     assert np.isfinite(float(metrics["mean_cost"]))
-    for engine in ("fast", "pallas"):
-        with pytest.raises(ValueError, match="unicycle structure"):
-            make_bank_solver(prob, mesh, engine=engine)
+    with pytest.raises(ValueError, match="unicycle structure"):
+        make_bank_solver(prob, mesh, engine="pallas")
 
 
 def test_quadrotor_receding_horizon_closed_loop():
