@@ -109,6 +109,12 @@ def make_bank_solver(
       into the batch, per-shard. Opts: ``swing_fracs=``, ``inner_engine=``
       (the bank engine doing the polish: 'pallas' | 'fast' | 'vmap'),
       tiles/lanes.
+    * ``'multistart_rescue'`` — the composed robustness mode
+      (solver/rescue.py::make_multistart_two_pass_solver): arc-seeded
+      multistart first pass + compacted cold/warm long-schedule multistart
+      rescue of the non-converged tail, one jit per shard. Opts:
+      ``capacity=`` (per-shard), ``swing_fracs=``, ``rescue_settings=``,
+      ``inner_engine=``, tiles.
 
     Extra ``engine_opts`` are forwarded to the engine factory
     (``lanes=`` for 'fast'; ``interpret=``, ``tile_s=``, ``tile_l=`` for
@@ -130,7 +136,7 @@ def make_bank_solver(
             "throughput via engine='fast' (the generic lane-aligned engine) "
             "or via 'vmap' | 'mppi' | 'hybrid' | 'multistart'"
         )
-    if engine in ("two_pass", "multistart_bank") and kind not in (
+    if engine in ("two_pass", "multistart_bank", "multistart_rescue") and kind not in (
         "point_stabilization", "legacy",
     ):
         raise ValueError(
@@ -172,6 +178,15 @@ def make_bank_solver(
         if inner == "pallas":
             engine_opts.setdefault("interpret", jax.default_backend() != "tpu")
         batched = make_bank_multistart_solver(
+            problem.ocp, problem.settings, engine=inner, **engine_opts
+        )
+    elif engine == "multistart_rescue":
+        from ..solver.rescue import make_multistart_two_pass_solver
+
+        inner = engine_opts.pop("inner_engine", "pallas")
+        if inner == "pallas":
+            engine_opts.setdefault("interpret", jax.default_backend() != "tpu")
+        batched = make_multistart_two_pass_solver(
             problem.ocp, problem.settings, engine=inner, **engine_opts
         )
     elif engine in ("mppi", "hybrid", "multistart"):
@@ -220,10 +235,13 @@ def make_bank_solver(
         raise ValueError(
             f"unknown engine {engine!r}; expected "
             "'vmap' | 'fast' | 'pallas' | 'mppi' | 'hybrid' | 'multistart' "
-            "| 'two_pass' | 'multistart_bank'"
+            "| 'two_pass' | 'multistart_bank' | 'multistart_rescue'"
         )
 
-    if engine in ("fast", "pallas", "two_pass", "multistart_bank") and mesh.size > 1:
+    if (
+        engine in ("fast", "pallas", "two_pass", "multistart_bank", "multistart_rescue")
+        and mesh.size > 1
+    ):
         # The scenario axis is embarrassingly parallel: run the engine
         # per-shard so its lane/tile packing never crosses a device
         # boundary. (No collectives inside — telemetry reduces outside.)

@@ -20,7 +20,9 @@ from .multistart_bank import (
     adversarial_saddle_bank,
     make_bank_multistart_solver,
 )
+from .batched import make_bank_kkt_polish, make_bank_solver_fast
 from .rescue import (
+    make_multistart_two_pass_solver,
     make_pallas_two_pass_point_stab,
     make_pallas_two_pass_tracking,
     make_two_pass_solver,
@@ -46,6 +48,9 @@ __all__ = [
     "make_quadrotor_hover",
     "make_smooth_point_stabilization",
     "make_two_pass_solver",
+    "make_multistart_two_pass_solver",
+    "make_bank_solver_fast",
+    "make_bank_kkt_polish",
     "make_pallas_two_pass_point_stab",
     "make_pallas_two_pass_tracking",
     "rescue_schedule",

@@ -80,6 +80,37 @@ def test_bank_multistart_fast_engine_matches_vmap():
     np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost), rtol=1e-4)
 
 
+def test_multistart_rescue_composite_never_worse_and_rescues():
+    """The composed robustness mode (multistart first pass + compacted
+    long-schedule multistart rescue, solver/rescue.py): row-wise KKT
+    residuals never regress vs plain multistart, and the converged
+    fraction moves toward 1 on the saddle bank (round-4 verdict item 2)."""
+    from ros2_mpc_tpu.solver import make_multistart_two_pass_solver
+
+    prob = make_point_stabilization(PARAMS, horizon=40, reference_parity=False)
+    B = 32
+    thetas, U0 = adversarial_saddle_bank(prob, B, seed=0)
+    ms = jax.jit(
+        make_bank_multistart_solver(
+            prob.ocp, prob.settings, swing_fracs=(1.0,), engine="vmap"
+        )
+    )
+    comp = jax.jit(
+        make_multistart_two_pass_solver(
+            prob.ocp, prob.settings, capacity=8, swing_fracs=(1.0,), engine="vmap"
+        )
+    )
+    sm = ms(thetas, U0)
+    sc = comp(thetas, U0)
+    # the composite's first pass IS the plain multistart program, and the
+    # rescue merge only accepts KKT improvements — so row-wise never worse
+    assert np.all(np.asarray(sc.kkt_residual) <= np.asarray(sm.kkt_residual) + 1e-6)
+    conv_m = float(jnp.mean(sm.converged.astype(jnp.float32)))
+    conv_c = float(jnp.mean(sc.converged.astype(jnp.float32)))
+    assert conv_c >= conv_m
+    assert np.all(np.isfinite(np.asarray(sc.U)))
+
+
 def test_bank_multistart_rejects_unknown_engine():
     prob = make_point_stabilization(PARAMS, horizon=8, settings=FAST)
     with pytest.raises(ValueError, match="unknown engine"):

@@ -165,3 +165,46 @@ def test_two_pass_rejects_bad_rescue_tile():
         make_pallas_two_pass_point_stab(
             prob.ocp, WEAK, capacity=6, tile_l=8, rescue_tile_s=5
         )
+
+
+def test_kkt_polish_monotone_and_improves():
+    """The box-DDP KKT-descent polish (solver/batched.py): per-row residuals
+    are monotone non-increasing by construction, and a weak-schedule bank is
+    measurably improved — the f32 last-mile stage of the composite."""
+    from ros2_mpc_tpu.solver import make_bank_kkt_polish
+
+    prob, thetas, U0 = _obstacle_bank(B=16, seed=3)
+    first = jax.jit(jax.vmap(make_solver(prob.ocp, WEAK)))
+    sols = first(thetas, U0)
+    polish = jax.jit(make_bank_kkt_polish(prob.ocp, n_iters=8, lanes=16))
+    psols = polish(thetas, sols.U)
+    k0 = np.asarray(sols.kkt_residual)
+    k1 = np.asarray(psols.kkt_residual)
+    assert np.all(k1 <= k0 + 1e-7), "polish must never worsen a row"
+    assert k1.mean() < 0.5 * k0.mean(), (k0.mean(), k1.mean())
+    assert np.asarray(psols.converged).mean() >= np.asarray(sols.converged).mean()
+    assert np.all(np.isfinite(np.asarray(psols.U)))
+
+
+def test_multistart_rescue_mesh_engine():
+    """The composed robustness mode is on the mesh menu: per-shard
+    multistart first pass + rescue + polish, sharded over the 8-device
+    virtual mesh."""
+    from ros2_mpc_tpu.parallel import make_bank_solver, make_mesh, shard_bank
+
+    prob, thetas, U0 = _obstacle_bank(B=32, seed=4)
+    mesh = make_mesh()
+    step = make_bank_solver(
+        prob,
+        mesh,
+        engine="multistart_rescue",
+        inner_engine="vmap",
+        capacity=2,
+        swing_fracs=(1.0,),
+        rescue_settings=STRONG,
+        polish_iters=4,
+    )
+    sols, metrics = step(shard_bank(thetas, mesh), shard_bank(U0, mesh))
+    assert np.all(np.isfinite(np.asarray(sols.U)))
+    assert np.isfinite(float(metrics["mean_cost"]))
+    assert float(metrics["frac_converged"]) > 0.8
