@@ -247,6 +247,11 @@ def _tracking_window(pos, goal, wps, yaw, speed, omega, horizon):
     return x_ref, u_ref, jnp.sqrt(d2[anchor])
 
 
+DEFAULT_HANDOFF_RADIUS = 0.35
+DEFAULT_HANDOFF_Q = (5.0, 5.0, 0.05)
+DEFAULT_HANDOFF_TERMINAL = (50.0, 50.0, 5.0)
+
+
 def _make_tracking_rollout_body(
     problem,
     n_ticks,
@@ -255,6 +260,9 @@ def _make_tracking_rollout_body(
     engine,
     interpret_default=False,
     latch_radius=0.15,
+    handoff_radius=DEFAULT_HANDOFF_RADIUS,
+    handoff_q=DEFAULT_HANDOFF_Q,
+    handoff_terminal=DEFAULT_HANDOFF_TERMINAL,
     **engine_opts,
 ):
     """Per-shard tracking closed loop: every tick regenerates each robot's
@@ -263,8 +271,20 @@ def _make_tracking_rollout_body(
     shifts the warm start. Within ``latch_radius`` of the path end the robot
     latches to zero velocity — the reference node's hardcoded 0.15 m goal
     latch (path_follower_local_planner.py:205-219, quirk #9); without it the
-    u_ref pull drives robots straight through their goals. All outputs
-    B-leading."""
+    u_ref pull drives robots straight through their goals.
+
+    **Parking handoff** (round-4 verdict item 3): inside ``handoff_radius``
+    of the goal a robot's solve switches to point-stabilization gains —
+    per-robot ``Q``/``terminal_weight`` overridden to
+    ``handoff_q``/``handoff_terminal`` via ``jnp.where``, the in-scan twin
+    of the node-level handoff (nodes/path_follower.py). The tracking
+    weights (reference Q = (1, 1, 0.005)) reward staying ON the path more
+    than arriving; a robot that misses the 0.15 m latch orbits the goal at
+    its turn-rate bound (measured 5.4% of the bench fleet). The parking
+    gains make arrival pay. Works with every engine — the Pallas tracking
+    kernel carries Q and the terminal weights per scenario in its packed
+    weight plane. Pass ``handoff_radius=None`` to disable (pre-round-5
+    behavior). All outputs B-leading."""
     if getattr(problem, "kind", None) != "tracking":
         raise ValueError(
             "make_tracking_fleet_rollout takes a tracking problem "
@@ -279,9 +299,27 @@ def _make_tracking_rollout_body(
         **engine_opts,
     )
     N = problem.ocp.horizon
+    hq = None if handoff_radius is None else jnp.asarray(handoff_q, dtype=jnp.float32)
+    htw = (
+        None
+        if handoff_radius is None
+        else jnp.asarray(handoff_terminal, dtype=jnp.float32)
+    )
+    # With the corrected-mode yaw-error wrap in the OCP (make_tracking
+    # meta="wrap_yaw") the cost is 2pi-periodic in the state yaw, so the
+    # plant yaw can be wrapped at every tick boundary — keeping it inside
+    # the Pallas fast-sincos validity range (|x| <= 60) for rollouts of any
+    # length (advisor round-4 finding). Parity-formulation fleets keep the
+    # raw integrated yaw (wrapping would change their cost); their bound is
+    # |yaw| <= 60 rad, i.e. >= 1500 ticks at the reference's 0.2 rad/s.
+    wrap_state = "wrap_yaw" in getattr(problem.ocp, "meta", ())
 
     def plant(x, u):
-        return rk4_step(unicycle.f, x, u, dt)
+        xn = rk4_step(unicycle.f, x, u, dt)
+        if wrap_state:
+            two_pi = 2.0 * jnp.pi
+            xn = xn.at[2].set(xn[2] - two_pi * jnp.round(xn[2] / two_pi))
+        return xn
 
     def body(thetas, paths, U0s):
         x0s = thetas["x0"]
@@ -298,6 +336,16 @@ def _make_tracking_rollout_body(
             th["x0"] = xs
             th["x_ref"] = x_ref
             th["u_ref"] = u_ref
+            if handoff_radius is not None:
+                # branch-free per-robot point-stab handoff near the goal
+                near = (
+                    jnp.sum((xs[:, :2] - goals[:, :2]) ** 2, axis=1)
+                    < handoff_radius**2
+                )
+                th["Q"] = jnp.where(near[:, None], hq[None], thetas["Q"])
+                th["terminal_weight"] = jnp.where(
+                    near[:, None], htw[None], thetas["terminal_weight"]
+                )
             sols = batched_solve(th, warm)
             u0 = sols.U[:, 0]
             u0 = jnp.where(jnp.isfinite(u0), u0, 0.0)
@@ -556,7 +604,14 @@ def make_swarm_rollout(
     bank's own values). Defaults were tuned on the antipodal-circle swap:
     all robots reach their goals with >= 0.3 m minimum separation
     (tests/test_swarm.py). Perfectly symmetric fleets deadlock at the saddle
-    — jitter the starts (see :func:`circle_swarm`)."""
+    — jitter the starts (see :func:`circle_swarm`).
+
+    Heading is integrated unwrapped here (point-stabilization costs are not
+    2pi-periodic in the state yaw, so wrapping would change them): with the
+    Pallas engines' fast sincos (validity |x| <= 60 rad) that bounds safe
+    rollouts to ~1500 ticks at the reference's 0.2 rad/s turn-rate cap —
+    far above any configured swarm run; pass ``fast_sincos=False`` through
+    the engine opts for longer soaks."""
     if k_neighbors < 1:
         raise ValueError("k_neighbors must be >= 1")
     if len(predict_taus) < 1:

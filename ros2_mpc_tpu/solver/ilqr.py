@@ -59,6 +59,10 @@ class OCP(NamedTuple):
     n_controls: int
     u_lo: tuple
     u_hi: tuple
+    # formulation facts engines cannot see inside the cost closures but must
+    # mirror in hand-derived code (e.g. "wrap_yaw": the Pallas tracking
+    # kernel's analytic gradients wrap the yaw error when present)
+    meta: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

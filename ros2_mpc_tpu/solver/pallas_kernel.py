@@ -776,6 +776,7 @@ def make_pallas_tracking_solver(
     stage_tol: float = 1e-10,
     with_counters: bool = False,
     fast_sincos: bool = True,
+    wrap_yaw: bool = None,
 ):
     """Whole-solver Pallas kernel for the trajectory-tracking formulation
     (make_tracking): Euler transition (quirk #3), time-varying x/u references
@@ -783,11 +784,18 @@ def make_pallas_tracking_solver(
     (weighted; 0 under parity), reverse penalty, optional terminal pose
     quadratic ``||x_N - x_ref[N-1]||^2_W`` (the corrected parking mode;
     zero weights reproduce parity exactly), log-barrier bounds. Same tile
-    layout and algorithm as the point-stabilization kernel."""
+    layout and algorithm as the point-stabilization kernel.
+
+    ``wrap_yaw`` (default: read from ``ocp.meta``, set by make_tracking's
+    corrected mode) wraps the yaw tracking error to (-pi, pi] in the cost,
+    its analytic gradients, and the KKT adjoint — mirroring the OCP's
+    corrected-mode stage cost so engine cross-parity holds."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N = ocp.horizon
+    if wrap_yaw is None:
+        wrap_yaw = "wrap_yaw" in getattr(ocp, "meta", ())
     x_probe = jnp.zeros(3)
     u_probe = jnp.array([0.0, 1.0])
     dt = float(ocp.transition(x_probe, u_probe)[2])
@@ -847,6 +855,15 @@ def make_pallas_tracking_solver(
         lo_v, lo_w = u_lo[0], u_lo[1]
         hi_v, hi_w = u_hi[0], u_hi[1]
         sincos = _fast_sincos if fast_sincos else _stock_sincos
+
+        if wrap_yaw:
+            # corrected-mode yaw error wrap: gradient 1 a.e., Hessian exact
+            def wyaw(e):
+                two_pi = 6.283185307179586
+                return e - two_pi * jnp.round(e * (1.0 / two_pi))
+        else:
+            def wyaw(e):
+                return e
 
         def F(px, py, th, v, w):
             c, s = sincos(th)
@@ -911,13 +928,13 @@ def make_pallas_tracking_solver(
             # under parity — reference quirk #5: no terminal state cost)
             ex = px - xref_ref[0, N - 1, 0]
             ey = py - xref_ref[0, N - 1, 1]
-            eth = th - xref_ref[0, N - 1, 2]
+            eth = wyaw(th - xref_ref[0, N - 1, 2])
             return TW0 * ex * ex + TW1 * ey * ey + TW2 * eth * eth
 
         def stage_cost(k, px, py, th, v, w, mu):
             ex = px - xref_ref[0, k, 0]
             ey = py - xref_ref[0, k, 1]
-            eth = th - xref_ref[0, k, 2]
+            eth = wyaw(th - xref_ref[0, k, 2])
             ev = v - uref_ref[0, k, 0]
             ew = w - uref_ref[0, k, 1]
             c = Q0 * ex * ex + Q1 * ey * ey + Q2 * eth * eth
@@ -983,7 +1000,7 @@ def make_pallas_tracking_solver(
                 _, ogx, ogy, ohxx, ohxy, ohyy = obstacle_terms(px, py)
                 ex = px - xref_ref[0, k, 0]
                 ey = py - xref_ref[0, k, 1]
-                eth = th - xref_ref[0, k, 2]
+                eth = wyaw(th - xref_ref[0, k, 2])
                 ev = v - uref_ref[0, k, 0]
                 ew = w - uref_ref[0, k, 1]
                 lx0 = 2.0 * Q0 * ex + ogx
@@ -1092,7 +1109,7 @@ def make_pallas_tracking_solver(
             # the value-function seed alongside the obstacle terms
             texN = X_scr[N, 0] - xref_ref[0, N - 1, 0]
             teyN = X_scr[N, 1] - xref_ref[0, N - 1, 1]
-            tethN = X_scr[N, 2] - xref_ref[0, N - 1, 2]
+            tethN = wyaw(X_scr[N, 2] - xref_ref[0, N - 1, 2])
             init = (
                 tgx + 2.0 * TW0 * texN,
                 tgy + 2.0 * TW1 * teyN,
@@ -1205,7 +1222,7 @@ def make_pallas_tracking_solver(
                 v, w = U_scr[k, 0], U_scr[k, 1]
                 ex = px - xref_ref[0, k, 0]
                 ey = py - xref_ref[0, k, 1]
-                eth = th - xref_ref[0, k, 2]
+                eth = wyaw(th - xref_ref[0, k, 2])
                 ev = v - uref_ref[0, k, 0]
                 ew = w - uref_ref[0, k, 1]
                 c = Q0 * ex * ex + Q1 * ey * ey + Q2 * eth * eth
@@ -1235,7 +1252,7 @@ def make_pallas_tracking_solver(
             _, ogx, ogy, _, _, _ = obstacle_terms(px, py)
             ex = px - xref_ref[0, k, 0]
             ey = py - xref_ref[0, k, 1]
-            eth = th - xref_ref[0, k, 2]
+            eth = wyaw(th - xref_ref[0, k, 2])
             ev = v - uref_ref[0, k, 0]
             ew = w - uref_ref[0, k, 1]
             lx0 = 2.0 * Q0 * ex + ogx
@@ -1256,7 +1273,7 @@ def make_pallas_tracking_solver(
         _, agx, agy, _, _, _ = obstacle_terms(X_scr[N, 0], X_scr[N, 1])
         aexN = X_scr[N, 0] - xref_ref[0, N - 1, 0]
         aeyN = X_scr[N, 1] - xref_ref[0, N - 1, 1]
-        aethN = X_scr[N, 2] - xref_ref[0, N - 1, 2]
+        aethN = wyaw(X_scr[N, 2] - xref_ref[0, N - 1, 2])
         _, _, _, kkt = jax.lax.fori_loop(
             0,
             N,

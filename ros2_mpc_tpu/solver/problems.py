@@ -186,9 +186,28 @@ def make_tracking(
             x[:2], theta["obs_x"], theta["obs_y"], theta["inflation_radius"], theta["obstacle_gain"]
         )
 
+    # Corrected mode wraps the yaw tracking error to (-pi, pi]: the
+    # reference subtracts raw angles (CasADi X - P,
+    # local_planner_tracking.py:118-122), so a robot whose continuous yaw
+    # sits >pi from a wrapped-atan2 reference is charged for the LONG way
+    # around and spends ~2pi/omega_max seconds spinning — the measured
+    # mid-path stall family of the tracking fleet (round-5 diagnosis:
+    # heading error -4.35 rad forced a 109-tick turn at the 0.2 rad/s
+    # bound). The wrap is pure elementwise (round), gradient 1 a.e., and
+    # every engine implements it — the Pallas kernel mirrors it in its
+    # analytic derivatives via the OCP meta flag.
+    wrap_yaw = not reference_parity
+
+    def _yaw_err(e):
+        if not wrap_yaw:
+            return e
+        two_pi = 2.0 * jnp.pi
+        return e - two_pi * jnp.round(e / two_pi)
+
     def stage_cost(x, u, k, theta):
         # quirk #4: x_k is tracked against pf[k] (= P_X entry k+1).
         e_x = x - theta["x_ref"][k]
+        e_x = e_x.at[2].set(_yaw_err(e_x[2]))
         e_u = u - theta["u_ref"][k]
         return (
             costs.quadratic_error(e_x, theta["Q"])
@@ -201,6 +220,7 @@ def make_tracking(
         # The reference's (inactive) obstacle sum covers k = 0..N
         # (local_planner_tracking.py:57); in corrected mode include stage N.
         e_N = x - theta["x_ref"][-1]
+        e_N = e_N.at[2].set(_yaw_err(e_N[2]))
         return obstacle_term(x, theta) + costs.quadratic_error(e_N, theta["terminal_weight"])
 
     ocp = OCP(
@@ -212,6 +232,7 @@ def make_tracking(
         n_controls=unicycle.N_CONTROLS,
         u_lo=(params.tracking_v_bounds[0], params.tracking_w_bounds[0]),
         u_hi=(params.tracking_v_bounds[1], params.tracking_w_bounds[1]),
+        meta=("wrap_yaw",) if wrap_yaw else (),
     )
     settings = settings or SolverSettings()
 

@@ -112,25 +112,29 @@ def test_tracking_fleet_pallas_matches_vmap():
     )
 
 
-def test_tracking_fleet_terminal_weight_beats_parity():
-    """The corrected parking mode must dominate the parity formulation at
-    fleet scale: under parity the reverse penalty drives fly-bys past the
-    goal (measured: 5/8 reach on this bank), the terminal weight parks all
-    of them. This is the quantitative case for the corrected mode the
-    round-3 verdict asked the fastest engines to support."""
-    prob_tw = _problem(terminal_weight=(10.0, 10.0, 1.0))
-    prob_0 = _problem()
-    thetas_tw, paths, U0 = arc_path_fleet(prob_tw, B=8, n_waypoints=48, seed=2)
-    thetas_0, _, _ = arc_path_fleet(prob_0, B=8, n_waypoints=48, seed=2)
+def test_tracking_fleet_corrected_beats_parity():
+    """The corrected parking stack (yaw-error wrap + terminal weight +
+    in-scan point-stab handoff) must dominate the parity formulation at
+    fleet scale: under parity the raw yaw subtraction forces long-way-around
+    turns and the reverse penalty drives fly-bys past the goal (measured:
+    5/8 reach on this bank); corrected parks all of them. This is the
+    quantitative case for the corrected mode (round-4 verdict item 3)."""
+    prob_c = _problem(terminal_weight=(10.0, 10.0, 1.0))
+    prob_p = make_tracking(PARAMS, horizon=N, settings=FAST, reference_parity=True)
+    thetas_c, paths, U0 = arc_path_fleet(prob_c, B=8, n_waypoints=48, seed=2)
+    thetas_p, _, _ = arc_path_fleet(prob_p, B=8, n_waypoints=48, seed=2)
     n_ticks = 48
-    out_tw = make_tracking_fleet_rollout(
-        prob_tw, n_ticks, PARAMS.dt, goal_threshold=0.25
-    )(thetas_tw, paths, U0)
-    out_0 = make_tracking_fleet_rollout(
-        prob_0, n_ticks, PARAMS.dt, goal_threshold=0.25
-    )(thetas_0, paths, U0)
-    assert float(out_tw.reach_fraction) >= float(out_0.reach_fraction) + 0.2
-    assert float(out_tw.mean_cross_track) < float(out_0.mean_cross_track)
+    out_c = make_tracking_fleet_rollout(
+        prob_c, n_ticks, PARAMS.dt, goal_threshold=0.25
+    )(thetas_c, paths, U0)
+    # parity formulation: no handoff (it would override the reference's own
+    # weights) — the pre-correction behavior under test
+    out_p = make_tracking_fleet_rollout(
+        prob_p, n_ticks, PARAMS.dt, goal_threshold=0.25, handoff_radius=None
+    )(thetas_p, paths, U0)
+    assert float(out_c.reach_fraction) >= float(out_p.reach_fraction) + 0.2
+    assert float(out_c.reach_fraction) == 1.0
+    assert float(out_c.mean_cross_track) < 0.1
 
 
 def test_sharded_tracking_fleet_matches_unsharded():
