@@ -119,7 +119,9 @@ class ExplorerNode:
             return {"status": "waiting_for_odom"}
         robot_xy = np.asarray(pos[:2], dtype=float)
         self._tick += 1
-        if self._tick % self.coverage_every == 1:
+        # sample on ticks 1, 1+every, ... (a plain `% == 1` never fires at
+        # coverage_every=1, the most frequent setting — advisor finding)
+        if (self._tick - 1) % self.coverage_every == 0:
             self.coverage_log.append((self._tick, self.coverage_m2()))
 
         need_new = self.goal is None

@@ -56,8 +56,10 @@ class RclpyBusBridge:
         if not HAVE_RCLPY:
             raise ImportError("rclpy is not available; use the in-process bus instead")
         # idempotent init: a host process may own the rclpy context already
-        # (launch files, test harnesses); double-init raises in rclpy
-        if not rclpy.ok():
+        # (launch files, test harnesses); double-init raises in rclpy.
+        # Record ownership so close() only shuts down a context WE created.
+        self._owns_context = not rclpy.ok()
+        if self._owns_context:
             rclpy.init()
         self.bus = bus
         self.node = rclpy.create_node(node_name)
@@ -172,7 +174,8 @@ class RclpyBusBridge:
 
     def close(self):
         """Destroy the node and release the rclpy context (only if this
-        bridge initialized it — an embedding host keeps its own)."""
+        bridge initialized it — an embedding host, or a second live bridge,
+        keeps its own)."""
         self.node.destroy_node()
-        if rclpy.ok():
+        if self._owns_context and rclpy.ok():
             rclpy.shutdown()
