@@ -95,4 +95,68 @@ def synthetic_indoor_map(h: int = 250, w: int = 250, seed: int = 7) -> np.ndarra
     return img
 
 
+def synthetic_home_map(h: int = 314, w: int = 224, seed: int = 11) -> np.ndarray:
+    """A real-scale (224 x 314 @ 0.05 m — the reference carto map's
+    dimensions, maps/map_carto.yaml:1-7) cartographer-style apartment:
+    four rooms around a cross of interior walls with offset doorways, an
+    irregular unknown fringe outside the outer wall, scan-shadow speckle,
+    and ragged (sensor-noise) wall edges. Deterministic; generated, never
+    copied — this is the repo's self-shipped stand-in for the reference's
+    real-world SLAM asset, so the carto-class closed-loop tests run from
+    repo assets alone."""
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w), 205, dtype=np.uint8)
+    img[12:302, 12:212] = 254
+
+    def wall_h(r, c0, c1):
+        img[r : r + 2, c0:c1] = 0
+
+    def wall_v(c, r0, r1):
+        img[r0:r1, c : c + 2] = 0
+
+    # outer walls
+    wall_h(12, 12, 212)
+    wall_h(300, 12, 212)
+    wall_v(12, 12, 302)
+    wall_v(210, 12, 302)
+    # horizontal divider with two doorways (24 cells = 1.2 m wide — the
+    # planner's double 8x8 dilation closes ~0.7 m, leaving a 0.5 m corridor)
+    wall_h(150, 12, 212)
+    # bottom vertical divider + top vertical divider, one doorway each
+    wall_v(110, 150, 302)
+    wall_v(80, 12, 152)
+    doorways = (
+        (slice(150, 152), slice(56, 80)),
+        (slice(150, 152), slice(146, 170)),
+        (slice(206, 230), slice(110, 112)),
+        (slice(56, 80), slice(80, 82)),
+    )
+    for rs, cs in doorways:
+        img[rs, cs] = 254
+    # furniture/pillars away from the doorways
+    for r, c in ((40, 160), (110, 30), (200, 40), (260, 160), (80, 120)):
+        img[r : r + 5, c : c + 5] = 0
+
+    # cartographer artifacts: ragged wall edges (flip ~15% of cells adjacent
+    # to walls to occupied), scan-shadow unknown speckle in the interior
+    occ = img == 0
+    frontier = np.zeros_like(occ)
+    frontier[1:, :] |= occ[:-1, :]
+    frontier[:-1, :] |= occ[1:, :]
+    frontier[:, 1:] |= occ[:, :-1]
+    frontier[:, :-1] |= occ[:, 1:]
+    frontier &= img == 254
+    jitter = frontier & (rng.random(img.shape) < 0.15)
+    img[jitter] = 0
+    free = img == 254
+    speckle = free & (rng.random(img.shape) < 0.003)
+    img[speckle] = 205
+    # the sensor-noise jitter must not narrow the doorways below what the
+    # planner's dilation can pass — re-carve them clean
+    for rs, cs in doorways:
+        img[rs, cs] = 254
+    return img
+
+
 DEFAULT_MAP_INFO = {"resolution": 0.05, "origin": [-6.25, -6.25]}
+HOME_MAP_INFO = {"resolution": 0.05, "origin": [-5.6, -7.85]}

@@ -43,6 +43,26 @@ def main():
         yaml.safe_dump(meta, fh, sort_keys=False)
     print("wrote", map_yaml)
 
+    # real-scale cartographer-style home map (the repo's self-shipped
+    # stand-in for the reference's maps/map_carto.* SLAM asset)
+    home = pgm.synthetic_home_map()
+    home_pgm = os.path.join(REPO, "maps", "map_home.pgm")
+    pgm.write_pgm(home_pgm, home)
+    print("wrote", home_pgm, home.shape)
+    home_meta = {
+        "image": "map_home.pgm",
+        "mode": "trinary",
+        "resolution": pgm.HOME_MAP_INFO["resolution"],
+        "origin": pgm.HOME_MAP_INFO["origin"] + [0],
+        "negate": 0,
+        "occupied_thresh": 0.65,
+        "free_thresh": 0.25,
+    }
+    home_yaml = os.path.join(REPO, "maps", "map_home.yaml")
+    with open(home_yaml, "w") as fh:
+        yaml.safe_dump(home_meta, fh, sort_keys=False)
+    print("wrote", home_yaml)
+
 
 if __name__ == "__main__":
     main()
