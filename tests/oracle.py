@@ -93,11 +93,11 @@ def legacy_cost(U, x0, goal, dt, N, obs_x, obs_y, ir, obstacle_gain, reverse_fac
     return J
 
 
-def solve_oracle(cost_fn, N, u_lo, u_hi, U0=None):
+def solve_oracle(cost_fn, N, u_lo, u_hi, U0=None, m=2):
     """High-accuracy f64 solve of the condensed box-constrained NLP."""
     if U0 is None:
-        U0 = np.zeros((N, 2))
-    bounds = [(u_lo[i % 2], u_hi[i % 2]) for i in range(2 * N)]
+        U0 = np.zeros((N, m))
+    bounds = [(u_lo[i % m], u_hi[i % m]) for i in range(m * N)]
     res = optimize.minimize(
         cost_fn,
         U0.reshape(-1),
@@ -113,4 +113,152 @@ def solve_oracle(cost_fn, N, u_lo, u_hi, U0=None):
         bounds=bounds,
         options={"maxiter": 20000, "maxfun": 200000, "ftol": 1e-16, "gtol": 1e-12},
     )
-    return res.x.reshape(N, 2), res.fun
+    return res.x.reshape(N, m), res.fun
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference families (round-5 verdict item 4): independent f64
+# mirrors of solver/problems_ext.py and the corrected terminal-weight
+# tracking mode, so a subtly wrong Jacobian that still flies cannot pass.
+# ---------------------------------------------------------------------------
+
+
+def generic_rk4(f, x, u, dt):
+    k1 = f(x, u)
+    k2 = f(x + dt / 2 * k1, u)
+    k3 = f(x + dt / 2 * k2, u)
+    k4 = f(x + dt * k3, u)
+    return x + dt / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def generic_rollout(f, x0, U, dt):
+    X = [np.asarray(x0, dtype=float)]
+    for u in U:
+        X.append(generic_rk4(f, X[-1], u, dt))
+    return np.stack(X)
+
+
+def bicycle_f(wheelbase):
+    """models/bicycle.py contract: xdot = v cos, ydot = v sin,
+    thdot = v tan(delta) / L."""
+
+    def f(x, u):
+        return np.array(
+            [
+                u[0] * np.cos(x[2]),
+                u[0] * np.sin(x[2]),
+                u[0] * np.tan(u[1]) / wheelbase,
+            ]
+        )
+
+    return f
+
+
+def bicycle_cost(U, x0, goal, dt, N, Q, R, obs_x, obs_y, ir, gain, weight, wheelbase=0.3):
+    """problems_ext.make_bicycle_point_stabilization stage cost (corrected
+    family: live Gaussian obstacle term, zero terminal)."""
+    U = U.reshape(N, 2)
+    X = generic_rollout(bicycle_f(wheelbase), x0, U, dt)
+    J = 0.0
+    for k in range(N):
+        e = X[k] - goal
+        J += e @ (np.asarray(Q) * e) + U[k] @ (np.asarray(R) * U[k])
+        J += weight * gain * np.sum(
+            np.exp(-((X[k, 0] - obs_x) ** 2 + (X[k, 1] - obs_y) ** 2) / ir**2)
+        )
+    return J
+
+
+def quadrotor_f(mass=0.5, inertia=(2.3e-3, 2.3e-3, 4.0e-3), g=9.81):
+    """models/quadrotor.py contract: 12-state ZYX-Euler rigid body."""
+    Jx, Jy, Jz = inertia
+
+    def f(x, u):
+        v = x[3:6]
+        phi, th, psi = x[6], x[7], x[8]
+        wx, wy, wz = x[9], x[10], x[11]
+        T, tx, ty, tz = u
+        cphi, sphi = np.cos(phi), np.sin(phi)
+        cth, sth = np.cos(th), np.sin(th)
+        cpsi, spsi = np.cos(psi), np.sin(psi)
+        ez = np.array(
+            [
+                cpsi * sth * cphi + spsi * sphi,
+                spsi * sth * cphi - cpsi * sphi,
+                cth * cphi,
+            ]
+        )
+        vdot = T / mass * ez - np.array([0.0, 0.0, g])
+        tth = sth / cth
+        euldot = np.array(
+            [
+                wx + sphi * tth * wy + cphi * tth * wz,
+                cphi * wy - sphi * wz,
+                (sphi * wy + cphi * wz) / cth,
+            ]
+        )
+        wdot = np.array(
+            [
+                (tx - (Jz - Jy) * wy * wz) / Jx,
+                (ty - (Jx - Jz) * wz * wx) / Jy,
+                (tz - (Jy - Jx) * wx * wy) / Jz,
+            ]
+        )
+        return np.concatenate([v, vdot, euldot, wdot])
+
+    return f
+
+
+def quadrotor_cost(
+    U, x0, goal, dt, N,
+    Qp=1.0, Qv=0.1, Qatt=0.5, Qw=0.01,
+    R=(0.1, 10.0, 10.0, 10.0), terminal_weight=10.0, mass=0.5,
+):
+    """problems_ext.make_quadrotor_hover stage + terminal cost."""
+    U = U.reshape(N, 4)
+    X = generic_rollout(quadrotor_f(mass=mass), x0, U, dt)
+    u_hover = np.array([mass * 9.81, 0.0, 0.0, 0.0])
+    R = np.asarray(R)
+    J = 0.0
+    for k in range(N):
+        x = X[k]
+        ep = x[0:3] - goal[0:3]
+        epsi = x[8] - goal[3]
+        eu = U[k] - u_hover
+        J += (
+            Qp * ep @ ep
+            + Qv * x[3:6] @ x[3:6]
+            + Qatt * (x[6] ** 2 + x[7] ** 2 + epsi**2)
+            + Qw * x[9:12] @ x[9:12]
+            + eu @ (R * eu)
+        )
+    x = X[N]
+    ep = x[0:3] - goal[0:3]
+    epsi = x[8] - goal[3]
+    J += terminal_weight * (
+        ep @ ep + x[3:6] @ x[3:6] + x[6] ** 2 + x[7] ** 2 + epsi**2 + x[9:12] @ x[9:12]
+    )
+    return J
+
+
+def wrap_angle(e):
+    return e - 2.0 * np.pi * np.round(e / (2.0 * np.pi))
+
+
+def tracking_terminal_cost(U, x0, x_ref, u_ref, dt, N, Q, R, reverse_factor, terminal_weight):
+    """Corrected-mode tracking: Euler shooting, yaw error wrapped to
+    (-pi, pi] (make_tracking corrected-mode deviation), plus the terminal
+    pose quadratic ||x_N - x_ref[N-1]||^2_W."""
+    U = U.reshape(N, 2)
+    X = rollout(x0, U, dt, "euler")
+    J = 0.0
+    for k in range(N):
+        ex = X[k] - x_ref[k]
+        ex[2] = wrap_angle(ex[2])
+        eu = U[k] - u_ref[k]
+        J += ex @ (np.asarray(Q) * ex) + eu @ (np.asarray(R) * eu)
+        J += np.exp(-reverse_factor * U[k, 0])
+    eN = X[N] - x_ref[N - 1]
+    eN[2] = wrap_angle(eN[2])
+    J += eN @ (np.asarray(terminal_weight) * eN)
+    return J

@@ -209,3 +209,120 @@ def test_warm_started_realtime_schedule_sweep():
         if drift > CONTROL_TOL or J_ours > J_ref + COST_TOL:
             failures.append((i, drift, J_ours - J_ref))
     assert not failures, f"{len(failures)}/8 warm-start scenarios off-oracle: {failures}"
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference families (round-5 verdict item 4): quadrotor fly-to-pose,
+# bicycle point-stab, and corrected terminal-weight tracking get the same
+# polish-based oracle treatment as the reference formulations.
+# ---------------------------------------------------------------------------
+
+SWEEP_EXT = 16
+
+
+def test_bicycle_oracle_sweep():
+    """Obstacle-active bicycle drive-to-pose vs the f64 oracle."""
+    from ros2_mpc_tpu.solver import make_bicycle_point_stabilization
+
+    prob = make_bicycle_point_stabilization(PARAMS, horizon=N)
+    rng = np.random.default_rng(7)
+    drifts = []
+    for i in range(SWEEP_EXT):
+        x0 = np.concatenate([rng.uniform(-0.3, 0.3, 2), rng.uniform(-np.pi, np.pi, 1)])
+        goal = np.concatenate([rng.uniform(-0.9, 0.9, 2), rng.uniform(-np.pi, np.pi, 1)])
+        obs_x, obs_y = _sample_obstacles(rng, PARAMS.n_obstacle_points, x0, goal)
+        theta = prob.make_theta(x0, goal, obs_x, obs_y)
+        sol = jax.jit(prob.solve)(theta, prob.default_u0)
+        U_ours = np.asarray(sol.U, dtype=float)
+
+        def cost(Uf):
+            return oracle.bicycle_cost(
+                Uf, x0, goal, PARAMS.dt, N,
+                Q=np.asarray(theta["Q"]), R=np.asarray(theta["R"]),
+                obs_x=obs_x, obs_y=obs_y,
+                ir=float(theta["inflation_radius"]), gain=float(theta["obstacle_gain"]),
+                weight=float(theta["obstacle_weight"]),
+            )
+
+        drift, J_ref, J_ours = _polish_drift(cost, U_ours, prob.ocp.u_lo, prob.ocp.u_hi)
+        drifts.append(drift)
+        assert J_ours <= J_ref + max(COST_TOL, 1e-6 * abs(J_ref)) or drift <= CONTROL_TOL
+    drifts = np.asarray(drifts)
+    assert np.mean(drifts <= CONTROL_TOL) >= 0.9, drifts
+    assert np.max(drifts) <= 5 * CONTROL_TOL, drifts
+
+
+def test_quadrotor_oracle_sweep():
+    """12-state fly-to-pose vs the f64 oracle. Tolerance is per-channel
+    relative to the control box width (thrust spans 9.81 N, torques 0.04 N m
+    — one absolute tolerance would be meaningless across 250x scales);
+    5e-3 of width is the documented bound for the 12-state family."""
+    from ros2_mpc_tpu.solver import make_quadrotor_hover
+
+    dt, N_q = 0.05, 20
+    prob = make_quadrotor_hover(horizon=N_q, dt=dt)
+    width = np.asarray(prob.ocp.u_hi) - np.asarray(prob.ocp.u_lo)
+    rng = np.random.default_rng(11)
+    rel = []
+    for i in range(SWEEP_EXT):
+        x0 = np.zeros(12)
+        x0[0:3] = rng.uniform(-0.4, 0.4, 3)
+        x0[6:8] = rng.uniform(-0.15, 0.15, 2)
+        x0[8] = rng.uniform(-0.5, 0.5)
+        goal = np.concatenate([rng.uniform(-0.3, 0.3, 3), rng.uniform(-0.4, 0.4, 1)])
+        theta = prob.make_theta(x0, goal)
+        sol = jax.jit(prob.solve)(theta, prob.default_u0)
+        U_ours = np.asarray(sol.U, dtype=float)
+
+        def cost(Uf):
+            return oracle.quadrotor_cost(Uf, x0, goal, dt, N_q)
+
+        U_ref, J_ref = oracle.solve_oracle(
+            cost, N_q, u_lo=prob.ocp.u_lo, u_hi=prob.ocp.u_hi, U0=U_ours, m=4
+        )
+        rel.append(np.max(np.abs(U_ours - U_ref) / width[None, :]))
+    rel = np.asarray(rel)
+    assert np.mean(rel <= 5e-3) >= 0.9, rel
+    assert np.max(rel) <= 2e-2, rel
+
+
+def test_tracking_terminal_weight_oracle_sweep():
+    """Corrected tracking (wrapped yaw error + terminal pose weight) vs the
+    f64 oracle — the parking mode every fleet/node runs."""
+    tw = (10.0, 10.0, 1.0)
+    prob = make_tracking(
+        PARAMS, horizon=N, reference_parity=False, terminal_weight=tw
+    )
+    rng = np.random.default_rng(13)
+    drifts = []
+    for i in range(SWEEP_EXT):
+        x0 = np.concatenate([rng.uniform(-0.1, 0.1, 2), rng.uniform(-np.pi, np.pi, 1)])
+        speed = rng.uniform(0.05, 0.18)
+        heading = rng.uniform(-np.pi, np.pi)
+        ts = np.arange(1, N + 1) * PARAMS.dt
+        x_ref = np.stack(
+            [
+                x0[0] + speed * ts * np.cos(heading),
+                x0[1] + speed * ts * np.sin(heading),
+                np.full(N, heading),
+            ],
+            axis=1,
+        )
+        u_ref = np.tile([speed, 0.0], (N, 1))
+        theta = prob.make_theta(x0, x_ref, u_ref)
+        sol = jax.jit(prob.solve)(theta, prob.default_u0)
+        U_ours = np.asarray(sol.U, dtype=float)
+
+        def cost(Uf):
+            return oracle.tracking_terminal_cost(
+                Uf, x0, x_ref, u_ref, PARAMS.dt, N,
+                Q=np.asarray(theta["Q"]), R=np.asarray(theta["R"]),
+                reverse_factor=float(theta["reverse_factor"]),
+                terminal_weight=np.asarray(tw),
+            )
+
+        drift, J_ref, J_ours = _polish_drift(cost, U_ours, TR_LO, TR_HI)
+        drifts.append(drift)
+    drifts = np.asarray(drifts)
+    assert np.mean(drifts <= CONTROL_TOL) >= 0.9, drifts
+    assert np.max(drifts) <= 5 * CONTROL_TOL, drifts
