@@ -128,6 +128,72 @@ def point_stab_solve_flops(
     return FlopCount(arith, exp, log, sincos)
 
 
+def point_stab_phase_flops(
+    N: int, P: float, iters: float, ls_rollouts: float, fast_sincos: bool = False
+) -> dict:
+    """The :func:`point_stab_solve_flops` ledger split by solver phase —
+    the per-phase cycle ledger the round-4 verdict asked for. Phases:
+
+    * ``rollout``: the per-iteration trajectory+cost rollout, commit and
+      regularizer bookkeeping;
+    * ``backward``: F_jac, quadratization, Riccati recursion, 2x2 solves;
+    * ``line_search``: all executed candidate rollouts + Armijo tests;
+    * ``final``: strict-interior init, final rollout, adjoint KKT sweep.
+
+    Summing the phases reproduces :func:`point_stab_solve_flops` exactly
+    (pinned by tests). Each phase maps to model seconds via
+    :func:`roofline_report`'s cycle model, giving the phase split of the
+    modeled compute time."""
+    I, R = np.asarray(iters, dtype=float), np.asarray(ls_rollouts, dtype=float)
+    zeros = np.zeros_like(I + R)
+
+    def mk(arith, exp, log, sincos):
+        if fast_sincos:
+            return FlopCount(arith + sincos * 10.5, exp, log, zeros + 0.0)
+        return FlopCount(arith, exp, log, sincos)
+
+    phases = {
+        "rollout": mk(
+            I * N * (46.0 + 2.0) + I * 4.0 + P * N * I * 9.0,
+            I * N * (1.0 + P),
+            4.0 * N * I,
+            6.0 * N * I,
+        ),
+        "backward": mk(
+            I * N * 361.0 + P * N * I * 39.0,
+            I * N * (1.0 + P),
+            0.0 * I,
+            6.0 * N * I,
+        ),
+        "line_search": mk(
+            R * (N * 72.0 + 13.0) + P * N * R * 9.0,
+            R * N * (1.0 + P),
+            4.0 * N * R,
+            6.0 * N * R,
+        ),
+        "final": mk(
+            N * (37.0 + 73.0 + 4.0) + P * N * (9.0 + 39.0) + zeros,
+            2.0 * N * (1.0 + P) + zeros,
+            zeros + 0.0,
+            6.0 * N * 2.0 + zeros,
+        ),
+    }
+    return phases
+
+
+def phase_model_seconds(phases: dict, peaks: dict) -> dict:
+    """Cycle-model seconds per phase (each op class at its measured peak)."""
+    out = {}
+    for name, c in phases.items():
+        out[name] = (
+            c.arith / peaks["fma_flops_per_s"]
+            + c.exp / peaks["exp_per_s"]
+            + c.log / peaks["log_per_s"]
+            + c.sincos / peaks["sincos_per_s"]
+        )
+    return out
+
+
 def tracking_solve_flops(
     N: int,
     P: float,
@@ -200,6 +266,22 @@ def computed_obstacle_points(
         n_live = int(idx.max()) if idx.size else 0
         out[sl] = math.ceil(n_live / chunk) * chunk if n_live else 0
     return out
+
+
+def bank_phase_flops(N: int, P, iters, ls_rollouts, **kw) -> dict:
+    """Per-phase op counts summed over a bank (phase-name -> FlopCount)."""
+    phases = point_stab_phase_flops(
+        N, np.asarray(P, dtype=float), iters, ls_rollouts, **kw
+    )
+    return {
+        k: FlopCount(
+            float(np.sum(c.arith)),
+            float(np.sum(c.exp)),
+            float(np.sum(c.log)),
+            float(np.sum(c.sincos)),
+        )
+        for k, c in phases.items()
+    }
 
 
 def point_stab_hbm_bytes(N: int, n_obs: int) -> float:
@@ -309,6 +391,46 @@ def measure_vpu_peaks(
         key = "fma_flops_per_s" if name == "fma" else f"{name}_per_s"
         peaks[key] = flops_per_op * rate
     return peaks
+
+
+def measure_loop_overhead(
+    rows: int = 8,
+    cols: int = 128,
+    interpret: bool = False,
+) -> float:
+    """Measured per-trip overhead (seconds) of a Pallas ``fori_loop`` on a
+    (rows, cols) f32 VMEM block — the scalar-core bookkeeping (trip count,
+    branch, ref indexing) every loop iteration of the solver kernels pays
+    on top of its vector work.
+
+    Method: the FMA chain at ``unroll=16`` measures pure FMA issue rate;
+    the same chain at ``unroll=1`` pays one loop trip per FMA. The per-trip
+    difference is the loop overhead. Measured on the solver kernels' own
+    (8, 128) scalar-plane shape by default, where the overhead is
+    proportionally largest. Feeds the MFU gap decomposition: total solver
+    loop trips x this number = modeled control-flow overhead seconds."""
+    n_steps = 16384 if not interpret else 64
+    rate16 = _chain_rate("fma", rows, cols, n_steps, 16, interpret)
+    rate1 = _chain_rate("fma", rows, cols, n_steps * 16, 1, interpret)
+    numel = rows * cols
+    per_trip_1 = numel / rate1  # seconds per unroll=1 trip (1 FMA + overhead)
+    per_fma = numel / rate16  # seconds per FMA inside an unrolled body
+    return max(0.0, per_trip_1 - per_fma)
+
+
+def solver_loop_trips(N: int, iters, ls_rollouts, n_obs_chunks: float = 0.0) -> float:
+    """Estimated ``fori_loop`` trips one solve executes (per scenario tile):
+    per iteration a rollout (N), a backward sweep (N) and a commit (N) loop,
+    ``ls_rollouts`` candidate rollouts of N trips each, plus init/final/
+    adjoint (3N) and the per-evaluation obstacle chunk loops
+    (``n_obs_chunks`` per obstacle evaluation, already folded into the
+    callers' P accounting — pass 0 to ignore)."""
+    I = np.asarray(iters, dtype=float)
+    R = np.asarray(ls_rollouts, dtype=float)
+    trips = I * 3.0 * N + R * N + 3.0 * N
+    if n_obs_chunks:
+        trips = trips + n_obs_chunks * (2.0 * I * N + R * N + 2.0 * N)
+    return trips
 
 
 def roofline_report(

@@ -96,3 +96,37 @@ def test_measure_vpu_peaks_interpret_smoke():
     assert rep["achieved_gflops"] > 0
     assert 0 < rep["transcendental_frac"] < 1
     assert rep["arithmetic_intensity_flops_per_byte"] > 10  # compute-bound
+
+
+def test_phase_ledger_sums_to_total():
+    """The per-phase split must reproduce the whole-solve ledger exactly,
+    for scalar and (B,)-array counters, in both sincos modes."""
+    rng = np.random.default_rng(3)
+    for fast in (False, True):
+        for I, R, P in [(60.0, 180.0, 8.0), (rng.uniform(5, 60, 16), rng.uniform(10, 300, 16), rng.uniform(0, 16, 16))]:
+            total = rl.point_stab_solve_flops(20, P, I, R, fast_sincos=fast)
+            phases = rl.point_stab_phase_flops(20, P, I, R, fast_sincos=fast)
+            agg = None
+            for c in phases.values():
+                agg = c if agg is None else agg + c
+            np.testing.assert_allclose(np.asarray(agg.arith), np.asarray(total.arith), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(agg.exp), np.asarray(total.exp), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(agg.log), np.asarray(total.log), rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(agg.sincos), np.asarray(total.sincos), rtol=1e-12)
+
+
+def test_phase_model_seconds_and_loop_trips():
+    peaks = {"fma_flops_per_s": 3e12, "exp_per_s": 1.3e12, "log_per_s": 1.3e12, "sincos_per_s": 7e10}
+    phases = rl.bank_phase_flops(20, np.full(8, 8.0), np.full(8, 60.0), np.full(8, 180.0))
+    secs = rl.phase_model_seconds(phases, peaks)
+    assert set(secs) == {"rollout", "backward", "line_search", "final"}
+    assert all(v > 0 for v in secs.values())
+    # backward dominates the model (361 arith/step vs 46)
+    assert secs["backward"] > secs["rollout"]
+    trips = rl.solver_loop_trips(20, 60.0, 180.0)
+    assert trips == 60.0 * 3 * 20 + 180.0 * 20 + 3 * 20
+
+
+def test_measure_loop_overhead_interpret_smoke():
+    ov = rl.measure_loop_overhead(rows=8, cols=128, interpret=True)
+    assert ov >= 0.0
