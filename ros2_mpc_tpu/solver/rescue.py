@@ -304,6 +304,13 @@ def make_multistart_two_pass_solver(
             )
     else:
         rescue_opts.pop("rescue_tile_s", None)
+        if engine == "fast" and "lanes" in rescue_opts:
+            # the rescue bank (2 * capacity * K_rescue rows) is smaller than
+            # the first-pass bank; shrink its lane width until it divides
+            lanes_r = max(1, int(rescue_opts["lanes"]))
+            while rbank % lanes_r:
+                lanes_r //= 2
+            rescue_opts["lanes"] = max(1, lanes_r)
     first = make_bank_multistart_solver(
         ocp, settings, swing_fracs=swing_fracs, engine=engine, **engine_opts
     )

@@ -15,7 +15,6 @@ def test_long_horizon_tracking_N256():
     its horizon (SURVEY.md §5); the lax.scan formulation compiles O(1) in N.
     N=256 (51 s lookahead) must solve and track."""
     import jax
-    import jax.numpy as jnp
 
     N = 256
     settings = SolverSettings(barrier_stages=4, iters_per_stage=3, n_alphas=6)
@@ -60,7 +59,10 @@ def test_scaling_bench_all_engines(tmp_path):
 
     out = scaling_bench.run_all_engines(per_device_batch=8, horizon=5, reps=1)
     engines = {r["engine"] for r in out["results"]}
-    assert engines == {"vmap", "fast", "pallas", "mppi"}
+    assert engines == {
+        "vmap", "fast", "pallas", "mppi",
+        "two_pass", "multistart_bank", "multistart_rescue",
+    }
     assert 0.0 < out["contention_ceiling"] <= 1.0
     for r in out["results"]:
         assert r["solves_per_s_ndev"] > 0, r
@@ -87,7 +89,6 @@ def test_sweep_cli_prints_table(capsys):
 def test_fleet_closed_loop_reaches_goals():
     """Whole fleet closed loop under one jit: most open-floor scenarios must
     reach their goals within the tick budget."""
-    import jax.numpy as jnp
 
     from ros2_mpc_tpu.parallel.fleet import make_fleet_rollout, random_fleet
     from ros2_mpc_tpu.solver import make_point_stabilization

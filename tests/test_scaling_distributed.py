@@ -15,14 +15,23 @@ def test_distributed_scaling_floor():
     assert out["processes"] == 2
     assert out["global_devices"] == 8
     results = {r["engine"]: r for r in out["results"]}
-    assert set(results) == {"vmap", "fast", "pallas", "mppi"}
+    assert set(results) == {
+        "vmap", "fast", "pallas", "mppi",
+        "two_pass", "multistart_bank", "multistart_rescue", "swarm_allgather",
+    }
     # Floors, relative to the 2-core contention ceiling. The iLQR bank
     # engines have long device programs, so the TCP collectives amortize
     # (measured ~0.88-1.0); mppi's tiny probe schedule is latency-bound
-    # (measured ~0.49) and gets a looser floor. Margins absorb CI noise.
+    # (measured ~0.49) and gets a looser floor, as do the short-schedule
+    # composites and the swarm (whose all_gather pays TCP every tick).
+    # Margins absorb CI noise.
     assert results["vmap"]["efficiency_vs_ceiling"] >= 0.55
     assert results["fast"]["efficiency_vs_ceiling"] >= 0.55
     assert results["pallas"]["efficiency_vs_ceiling"] >= 0.55
     assert results["mppi"]["efficiency_vs_ceiling"] >= 0.2
+    assert results["two_pass"]["efficiency_vs_ceiling"] >= 0.15
+    assert results["multistart_bank"]["efficiency_vs_ceiling"] >= 0.15
+    assert results["multistart_rescue"]["efficiency_vs_ceiling"] >= 0.15
+    assert results["swarm_allgather"]["efficiency_vs_ceiling"] >= 0.1
     for r in out["results"]:
         assert r["solves_per_s_ndev"] > 0
