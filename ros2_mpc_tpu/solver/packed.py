@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from ..config import Params
 from .problems import Problem

@@ -8,7 +8,6 @@ import pytest
 
 from ros2_mpc_tpu.config import Params
 from ros2_mpc_tpu.nodes.launch import build_sim_stack
-from ros2_mpc_tpu.solver.ilqr import SolverSettings
 from ros2_mpc_tpu.utils import pgm
 
 HORIZON = 12

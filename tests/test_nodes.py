@@ -6,13 +6,10 @@ import numpy as np
 from ros2_mpc_tpu.config import Params
 from ros2_mpc_tpu.nodes import MessageBus
 from ros2_mpc_tpu.nodes.bus import (
-    LaserScan,
     Odometry,
     Pose,
     PoseStamped,
     Quaternion,
-    Transform,
-    Twist,
 )
 from ros2_mpc_tpu.nodes.reference_gen import (
     get_goal_for_mpc,

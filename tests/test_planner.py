@@ -2,7 +2,6 @@
 plus API parity for the three reference planner classes."""
 
 import numpy as np
-import pytest
 
 from ros2_mpc_tpu.planner import (
     AstarGlobalPlanner,

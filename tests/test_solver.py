@@ -12,7 +12,6 @@ import pytest
 import oracle
 from ros2_mpc_tpu.config import Params
 from ros2_mpc_tpu.solver import (
-    SolverSettings,
     make_legacy_point_stabilization,
     make_point_stabilization,
     make_tracking,

@@ -50,7 +50,7 @@ def main():
     from ros2_mpc_tpu.models import unicycle
     from ros2_mpc_tpu.ops import costs
     from ros2_mpc_tpu.ops.integrators import make_step
-    from ros2_mpc_tpu.solver.ilqr import OCP, SolverSettings, make_solver
+    from ros2_mpc_tpu.solver.ilqr import SolverSettings, make_solver
     from ros2_mpc_tpu.solver.problems import Problem, make_point_stabilization
 
     params = Params()

@@ -3,7 +3,6 @@
 import sys
 import time
 
-import numpy as np
 
 sys.path.insert(0, "/root/repo")
 

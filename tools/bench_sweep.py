@@ -16,7 +16,6 @@ import os
 import sys
 import time
 
-import numpy as np
 
 # runnable as `python tools/bench_sweep.py` without installing the package
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
