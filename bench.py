@@ -286,14 +286,19 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"hybrid bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # --- Bank-scale multistart on the adversarial saddle bank
-    # (solver/multistart_bank.py): basin escape at engine throughput. The
-    # bank is the canonical symmetric-saddle geometry (tools/demo_escape.py)
-    # at B=4096, N=40 — where the single-start engine demonstrably fails.
+    # --- Adversarial saddle bank (B=4096, N=40, the canonical
+    # symmetric-saddle geometry of tools/demo_escape.py at bank scale).
+    # Three rungs of the robustness ladder on the SAME seed-pinned bank:
+    # plain single-start Pallas; arc-seeded bank multistart
+    # (solver/multistart_bank.py); and the round-5 production composite —
+    # multistart first pass + compacted long-schedule multistart rescue +
+    # box-DDP KKT polish (solver/rescue.py::make_multistart_two_pass_solver)
+    # — whose converged fraction is the saddle_multistart_* headline.
     try:
         from ros2_mpc_tpu.solver import (
             adversarial_saddle_bank,
             make_bank_multistart_solver,
+            make_multistart_two_pass_solver,
         )
 
         N_SADDLE = 40
@@ -309,24 +314,84 @@ def main():
                 prob_s.ocp, prob_s.settings, swing_fracs=(1.0,), tile_s=32
             )
         )
+        comp_s = jax.jit(
+            make_multistart_two_pass_solver(
+                prob_s.ocp, prob_s.settings, capacity=768, swing_fracs=(1.0,), tile_s=32
+            )
+        )
         sols_sp = plain_s(thetas_s, U0_s)
         sols_sm = ms_s(thetas_s, U0_s)
-        jax.block_until_ready((sols_sp, sols_sm))
+        sols_sc = comp_s(thetas_s, U0_s)
+        jax.block_until_ready((sols_sp, sols_sm, sols_sc))
         tms = []
         for _ in range(2):
             t0 = time.perf_counter()
-            outs = [ms_s(thetas_s, U0_s) for _ in range(4)]
+            outs = [comp_s(thetas_s, U0_s) for _ in range(4)]
             jax.block_until_ready(outs)
             tms.append(time.perf_counter() - t0)
         secondary["saddle_plain_converged_frac"] = round(
             float(jnp.mean(sols_sp.converged.astype(jnp.float32))), 4
         )
-        secondary["saddle_multistart_converged_frac"] = round(
+        secondary["saddle_multistart_first_pass_converged_frac"] = round(
             float(jnp.mean(sols_sm.converged.astype(jnp.float32))), 4
+        )
+        secondary["saddle_multistart_converged_frac"] = round(
+            float(jnp.mean(sols_sc.converged.astype(jnp.float32))), 4
         )
         secondary["saddle_multistart_solves_per_s"] = round(4 * BATCH / min(tms), 1)
     except Exception as e:  # noqa: BLE001
-        print(f"saddle multistart bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+        print(f"saddle composite bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # --- Model-generic bank engine (round-5 item 1): the ext model families
+    # at bank scale through the lane-aligned engine's generic Cholesky path.
+    try:
+        from ros2_mpc_tpu.solver import (
+            make_bicycle_point_stabilization,
+            make_quadrotor_hover,
+        )
+
+        prob_bi = make_bicycle_point_stabilization(params, horizon=N_HORIZON)
+        th_bi = jax.vmap(prob_bi.make_theta)(jnp.asarray(x0), jnp.asarray(goal))
+        solve_bi = jax.jit(make_bank_solver_fast(prob_bi.ocp, prob_bi.settings))
+        sols_bi = solve_bi(th_bi, U0)
+        jax.block_until_ready(sols_bi)
+        tbi = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [solve_bi(th_bi, U0) for _ in range(8)]
+            jax.block_until_ready(outs)
+            tbi.append(time.perf_counter() - t0)
+        secondary["bicycle_solves_per_s"] = round(8 * BATCH / min(tbi), 1)
+        secondary["bicycle_converged_frac"] = round(
+            float(jnp.mean(sols_bi.converged.astype(jnp.float32))), 4
+        )
+
+        prob_q = make_quadrotor_hover(horizon=N_HORIZON)
+        xq = np.zeros((BATCH, 12))
+        xq[:, 0:3] = rng.uniform(-0.4, 0.4, size=(BATCH, 3))
+        xq[:, 6:8] = rng.uniform(-0.15, 0.15, size=(BATCH, 2))
+        xq[:, 8] = rng.uniform(-0.5, 0.5, size=BATCH)
+        gq = np.concatenate(
+            [rng.uniform(-0.3, 0.3, size=(BATCH, 3)), rng.uniform(-0.4, 0.4, size=(BATCH, 1))],
+            axis=1,
+        )
+        th_q = jax.vmap(prob_q.make_theta)(jnp.asarray(xq), jnp.asarray(gq))
+        U0_q = jnp.tile(prob_q.default_u0[None], (BATCH, 1, 1))
+        solve_q = jax.jit(make_bank_solver_fast(prob_q.ocp, prob_q.settings))
+        sols_q = solve_q(th_q, U0_q)
+        jax.block_until_ready(sols_q)
+        tq = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [solve_q(th_q, U0_q) for _ in range(4)]
+            jax.block_until_ready(outs)
+            tq.append(time.perf_counter() - t0)
+        secondary["quadrotor_solves_per_s"] = round(4 * BATCH / min(tq), 1)
+        secondary["quadrotor_converged_frac"] = round(
+            float(jnp.mean(sols_q.converged.astype(jnp.float32))), 4
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"generic bank bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     # --- Tracking-problem bank (Pallas tracking kernel, XLA fallback).
     try:
@@ -563,6 +628,54 @@ def main():
             secondary["transcendental_frac"] = round(rep["transcendental_frac"], 3)
             secondary["arithmetic_intensity_flops_per_byte"] = round(
                 rep["arithmetic_intensity_flops_per_byte"], 1
+            )
+
+            # --- MFU gap decomposition (round-5 item 5). The measured bank
+            # time splits into four summing-to-1 buckets:
+            #   useful modeled compute + divergence waste (iterations the
+            #   32x128 tile executes only because a slower tile-mate still
+            #   needs them — measured by re-counting executed work at
+            #   tile_s=4, where early exit acts at 8x finer granularity)
+            #   + fori_loop control-flow overhead (measured per-trip
+            #   microbench x the kernel's trip count) + unattributed
+            #   (Mosaic scheduling, VMEM moves, dispatch residue).
+            seconds_bank = BATCH / solves_per_s
+            iters_arr = np.asarray(cnt["iters"])
+            ls_arr = np.asarray(cnt["ls_rollouts"])
+            phases = rl.bank_phase_flops(
+                N_HORIZON, np.zeros(BATCH), iters_arr, ls_arr, fast_sincos=True
+            )
+            psec = rl.phase_model_seconds(phases, peaks)
+            model_t = sum(psec.values())
+            for k, v in psec.items():
+                secondary[f"mfu_phase_{k}_frac"] = round(v / model_t, 3)
+            solve_cnt4 = jax.jit(
+                make_pallas_point_stab_solver(
+                    prob.ocp, prob.settings, tile_s=4, with_counters=True
+                )
+            )
+            _, cnt4 = jax.block_until_ready(solve_cnt4(thetas, U0))
+            count4 = rl.bank_flops(
+                rl.point_stab_solve_flops,
+                N_HORIZON,
+                np.zeros(BATCH),
+                np.asarray(cnt4["iters"]),
+                np.asarray(cnt4["ls_rollouts"]),
+                fast_sincos=True,
+            )
+            useful_ratio = min(1.0, count4.total_flops / max(count.total_flops, 1.0))
+            ov = rl.measure_loop_overhead(rows=32, cols=128)
+            trips = float(np.mean(rl.solver_loop_trips(N_HORIZON, iters_arr, ls_arr)))
+            overhead_t = trips * ov  # one 32x128 tile covers the whole bank
+            model_frac = model_t / seconds_bank
+            secondary["mfu_model_compute_frac"] = round(model_frac, 3)
+            secondary["mfu_useful_compute_frac"] = round(model_frac * useful_ratio, 3)
+            secondary["mfu_divergence_frac"] = round(model_frac * (1 - useful_ratio), 3)
+            secondary["mfu_loop_overhead_frac"] = round(
+                min(overhead_t / seconds_bank, 1.0 - model_frac), 3
+            )
+            secondary["mfu_unattributed_frac"] = round(
+                max(0.0, 1.0 - model_frac - secondary["mfu_loop_overhead_frac"]), 3
             )
             if thetas_c is not None and "corrected_obstacle_solves_per_s" in secondary:
                 solve_c_cnt = jax.jit(
