@@ -22,6 +22,7 @@ from .multistart_bank import (
 )
 from .batched import make_bank_kkt_polish, make_bank_solver_fast
 from .rescue import (
+    make_fast_polish_solver,
     make_multistart_two_pass_solver,
     make_pallas_two_pass_point_stab,
     make_pallas_two_pass_tracking,
@@ -51,6 +52,7 @@ __all__ = [
     "make_multistart_two_pass_solver",
     "make_bank_solver_fast",
     "make_bank_kkt_polish",
+    "make_fast_polish_solver",
     "make_pallas_two_pass_point_stab",
     "make_pallas_two_pass_tracking",
     "rescue_schedule",

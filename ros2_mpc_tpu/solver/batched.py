@@ -309,15 +309,21 @@ def make_bank_solver_fast(ocp: OCP, settings: SolverSettings = SolverSettings(),
         bs = X.shape[-2:]
 
         def one_stage(x, u, k):
-            # dynamics Jacobian columns via jvp (elementwise-preserving)
+            # dynamics Jacobian columns: ONE linearization shared across all
+            # n+m basis tangents (jax.linearize evaluates the primal once;
+            # per-column jvp would re-trace the primal RK4 per column — at
+            # n=12 that's 12 redundant rollout stages XLA may not CSE)
             eye_n = jnp.eye(n)
             eye_m = jnp.eye(m)
+            _, step_lin = jax.linearize(step, x, u)
+            zx = jnp.zeros_like(x)
+            zu = jnp.zeros_like(u)
             A_cols = [
-                jax.jvp(lambda xx: step(xx, u), (x,), (jnp.broadcast_to(expand(eye_n[i], bs), x.shape),))[1]
+                step_lin(jnp.broadcast_to(expand(eye_n[i], bs), x.shape), zu)
                 for i in range(n)
             ]
             B_cols = [
-                jax.jvp(lambda uu: step(x, uu), (u,), (jnp.broadcast_to(expand(eye_m[i], bs), u.shape),))[1]
+                step_lin(zx, jnp.broadcast_to(expand(eye_m[i], bs), u.shape))
                 for i in range(m)
             ]
             A = jnp.stack(A_cols, axis=1)  # (n, n, *bs)
@@ -328,18 +334,18 @@ def make_bank_solver_fast(ocp: OCP, settings: SolverSettings = SolverSettings(),
                     lambda xv, uv: jnp.sum(stage_cost_mu(xv, uv, k, theta, mu)), argnums=(0, 1)
                 )(xx, uu)
 
-            lx, lu = gradfn(x, u)
+            # Hessian rows: one forward-over-reverse linearization, n+m
+            # cheap tangent applications (shared reverse pass)
+            (lx, lu), grad_lin = jax.linearize(gradfn, x, u)
             Hx_rows = []
             for i in range(n):
                 tx = jnp.broadcast_to(expand(eye_n[i], bs), x.shape)
-                tu = jnp.zeros_like(u)
-                _, (hxx, hxu) = jax.jvp(gradfn, (x, u), (tx, tu))
+                hxx, hxu = grad_lin(tx, zu)
                 Hx_rows.append((hxx, hxu))
             Hu_rows = []
             for i in range(m):
-                tx = jnp.zeros_like(x)
                 tu = jnp.broadcast_to(expand(eye_m[i], bs), u.shape)
-                _, (hux, huu) = jax.jvp(gradfn, (x, u), (tx, tu))
+                hux, huu = grad_lin(zx, tu)
                 Hu_rows.append((hux, huu))
             lxx = jnp.stack([r[0] for r in Hx_rows], axis=0)  # (n, n, *bs)
             lux = jnp.stack([r[0] for r in Hu_rows], axis=0)  # (m, n, *bs)
@@ -353,15 +359,13 @@ def make_bank_solver_fast(ocp: OCP, settings: SolverSettings = SolverSettings(),
         A, Bm, lx, lu, lxx, lux, luu = stage_derivs(X, U, theta, mu)
 
         xN = X[-1]
-        gN = jax.grad(lambda xv: jnp.sum(terminal_cost(xv, theta)))(xN)
-        VxxN_rows = []
+        tgrad = jax.grad(lambda xv: jnp.sum(terminal_cost(xv, theta)))
+        gN, tgrad_lin = jax.linearize(tgrad, xN)
         eye_n = jnp.eye(n)
-        for i in range(n):
-            t = jnp.broadcast_to(expand(eye_n[i], bs), xN.shape)
-            _, h = jax.jvp(
-                lambda xv: jax.grad(lambda xw: jnp.sum(terminal_cost(xw, theta)))(xv), (xN,), (t,)
-            )
-            VxxN_rows.append(h)
+        VxxN_rows = [
+            tgrad_lin(jnp.broadcast_to(expand(eye_n[i], bs), xN.shape))
+            for i in range(n)
+        ]
         VxxN = _sym(jnp.stack(VxxN_rows, axis=0))
 
         def body(carry, inp):
@@ -567,12 +571,15 @@ def make_bank_kkt_polish(
         def one_stage(x, u, k):
             eye_n = jnp.eye(n)
             eye_m = jnp.eye(m)
+            _, step_lin = jax.linearize(step, x, u)
+            zx = jnp.zeros_like(x)
+            zu = jnp.zeros_like(u)
             A_cols = [
-                jax.jvp(lambda xx: step(xx, u), (x,), (jnp.broadcast_to(expand(eye_n[i], bs), x.shape),))[1]
+                step_lin(jnp.broadcast_to(expand(eye_n[i], bs), x.shape), zu)
                 for i in range(n)
             ]
             B_cols = [
-                jax.jvp(lambda uu: step(x, uu), (u,), (jnp.broadcast_to(expand(eye_m[i], bs), u.shape),))[1]
+                step_lin(zx, jnp.broadcast_to(expand(eye_m[i], bs), u.shape))
                 for i in range(m)
             ]
             A = jnp.stack(A_cols, axis=1)
@@ -583,16 +590,16 @@ def make_bank_kkt_polish(
                     lambda xv, uv: jnp.sum(stage_cost(xv, uv, k, theta)), argnums=(0, 1)
                 )(xx, uu)
 
-            lx, lu = gradfn(x, u)
+            (lx, lu), grad_lin = jax.linearize(gradfn, x, u)
             Hx_rows = []
             for i in range(n):
                 tx = jnp.broadcast_to(expand(eye_n[i], bs), x.shape)
-                _, (hxx, hxu) = jax.jvp(gradfn, (x, u), (tx, jnp.zeros_like(u)))
+                hxx, hxu = grad_lin(tx, zu)
                 Hx_rows.append((hxx, hxu))
             Hu_rows = []
             for i in range(m):
                 tu = jnp.broadcast_to(expand(eye_m[i], bs), u.shape)
-                _, (hux, huu) = jax.jvp(gradfn, (x, u), (jnp.zeros_like(x), tu))
+                hux, huu = grad_lin(zx, tu)
                 Hu_rows.append((hux, huu))
             lxx = jnp.stack([r[0] for r in Hx_rows], axis=0)
             lux = jnp.stack([r[0] for r in Hu_rows], axis=0)
@@ -604,16 +611,13 @@ def make_bank_kkt_polish(
     def backward_boxddp(X, U, theta, lo, hi):
         bs = X.shape[-2:]
         A, Bm, lx, lu, lxx, lux, luu = stage_derivs(X, U, theta)
-        gN = jax.grad(lambda xv: jnp.sum(terminal_cost(xv, theta)))(X[-1])
+        tgrad = jax.grad(lambda xv: jnp.sum(terminal_cost(xv, theta)))
+        gN, tgrad_lin = jax.linearize(tgrad, X[-1])
         eye_n = jnp.eye(n)
-        VxxN_rows = []
-        for i in range(n):
-            t = jnp.broadcast_to(expand(eye_n[i], bs), X[-1].shape)
-            _, h = jax.jvp(
-                lambda xv: jax.grad(lambda xw: jnp.sum(terminal_cost(xw, theta)))(xv),
-                (X[-1],), (t,),
-            )
-            VxxN_rows.append(h)
+        VxxN_rows = [
+            tgrad_lin(jnp.broadcast_to(expand(eye_n[i], bs), X[-1].shape))
+            for i in range(n)
+        ]
         VxxN = _sym(jnp.stack(VxxN_rows, axis=0))
         tol_b = bound_tol * (hi - lo)
 

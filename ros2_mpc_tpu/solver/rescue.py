@@ -73,53 +73,60 @@ def make_two_pass_solver(
 
     def solve(thetas, U0s):
         sols = first_solve(thetas, U0s)
-        B = sols.kkt_residual.shape[0]
-        # straggler indices, shape-static: failed rows score above every
-        # converged row; ties broken toward low index for determinism
-        fail = jnp.logical_not(sols.converged)
-        score = fail.astype(jnp.float32) * 2.0 - jnp.arange(B) / B
-        _, idx = jax.lax.top_k(score, capacity)
-
-        sub = jax.tree_util.tree_map(lambda l: jnp.concatenate([l[idx], l[idx]]), thetas)
-        seeds = jnp.concatenate([jnp.zeros_like(U0s[idx]), sols.U[idx]])
+        sub, seeds, idx, fail = _select_stragglers(sols, thetas, U0s, capacity)
         rsols = rescue_solve(sub, seeds)
-
-        k_c, k_w = rsols.kkt_residual[:capacity], rsols.kkt_residual[capacity:]
-        take_cold = k_c <= k_w
-
-        def best(cold, warm):
-            shape = (capacity,) + (1,) * (cold.ndim - 1)
-            return jnp.where(take_cold.reshape(shape), cold, warm)
-
-        k_r = best(k_c, k_w)
-        U_r = best(rsols.U[:capacity], rsols.U[capacity:])
-        X_r = best(rsols.X[:capacity], rsols.X[capacity:])
-        c_r = best(rsols.cost[:capacity], rsols.cost[capacity:])
-
-        # accept the rescue only where it actually improved the residual AND
-        # the row was a straggler (padding rows drawn in by top_k keep their
-        # converged first-pass iterates)
-        improved = jnp.logical_and(k_r < sols.kkt_residual[idx], fail[idx])
-
-        def merge(old, new):
-            shape = (capacity,) + (1,) * (new.ndim - 1)
-            take = improved.reshape(shape)
-            return old.at[idx].set(jnp.where(take, new, old[idx]))
-
-        kkt = merge(sols.kkt_residual, k_r)
-        # recompute the flag from the merged residuals at the caller's
-        # tolerance (matches what the pass engines report)
-        return Solution(
-            U=merge(sols.U, U_r),
-            X=merge(sols.X, X_r),
-            cost=merge(sols.cost, c_r),
-            kkt_residual=kkt,
-            converged=kkt < tol,
-            n_iters=sols.n_iters,
-            reg=sols.reg,
-        )
+        return _merge_rescue(sols, rsols, idx, fail, capacity, tol)
 
     return solve
+
+
+def _select_stragglers(sols, thetas, U0s, capacity):
+    """Gather the top-``capacity`` non-converged rows into a cold+warm
+    rescue bank. Shape-static (top_k): failed rows score above every
+    converged row; ties broken toward low index for determinism."""
+    B = sols.kkt_residual.shape[0]
+    fail = jnp.logical_not(sols.converged)
+    score = fail.astype(jnp.float32) * 2.0 - jnp.arange(B) / B
+    _, idx = jax.lax.top_k(score, capacity)
+    sub = jax.tree_util.tree_map(lambda l: jnp.concatenate([l[idx], l[idx]]), thetas)
+    seeds = jnp.concatenate([jnp.zeros_like(U0s[idx]), sols.U[idx]])
+    return sub, seeds, idx, fail
+
+
+def _merge_rescue(sols, rsols, idx, fail, capacity, tol):
+    """Scatter the better of {cold, warm} rescue rows back into the bank —
+    only where the rescue actually improved the residual AND the row was a
+    straggler (padding rows drawn in by top_k keep their converged
+    first-pass iterates). The merged ``converged`` flags are recomputed at
+    the caller's tolerance (matches what the pass engines report)."""
+    k_c, k_w = rsols.kkt_residual[:capacity], rsols.kkt_residual[capacity:]
+    take_cold = k_c <= k_w
+
+    def best(cold, warm):
+        shape = (capacity,) + (1,) * (cold.ndim - 1)
+        return jnp.where(take_cold.reshape(shape), cold, warm)
+
+    k_r = best(k_c, k_w)
+    U_r = best(rsols.U[:capacity], rsols.U[capacity:])
+    X_r = best(rsols.X[:capacity], rsols.X[capacity:])
+    c_r = best(rsols.cost[:capacity], rsols.cost[capacity:])
+    improved = jnp.logical_and(k_r < sols.kkt_residual[idx], fail[idx])
+
+    def merge(old, new):
+        shape = (capacity,) + (1,) * (new.ndim - 1)
+        take = improved.reshape(shape)
+        return old.at[idx].set(jnp.where(take, new, old[idx]))
+
+    kkt = merge(sols.kkt_residual, k_r)
+    return Solution(
+        U=merge(sols.U, U_r),
+        X=merge(sols.X, X_r),
+        cost=merge(sols.cost, c_r),
+        kkt_residual=kkt,
+        converged=kkt < tol,
+        n_iters=sols.n_iters,
+        reg=sols.reg,
+    )
 
 
 def make_pallas_two_pass_point_stab(
@@ -208,31 +215,89 @@ def make_polish_stage(
 
     def solve(thetas, U0s):
         sols = first_solve(thetas, U0s)
-        B = sols.kkt_residual.shape[0]
-        fail = jnp.logical_not(sols.converged)
-        score = fail.astype(jnp.float32) * 2.0 - jnp.arange(B) / B
-        _, idx = jax.lax.top_k(score, capacity)
-        sub = jax.tree_util.tree_map(lambda l: l[idx], thetas)
-        psols = polish_solve(sub, sols.U[idx])
-        improved = jnp.logical_and(
-            psols.kkt_residual < sols.kkt_residual[idx], fail[idx]
-        )
+        sub, warm, idx, fail = _select_polish(sols, thetas, capacity)
+        psols = polish_solve(sub, warm)
+        return _merge_polish(sols, psols, idx, fail, capacity, tol)
 
-        def merge(old, new):
-            shape = (capacity,) + (1,) * (new.ndim - 1)
-            take = improved.reshape(shape)
-            return old.at[idx].set(jnp.where(take, new, old[idx]))
+    return solve
 
-        kkt = merge(sols.kkt_residual, psols.kkt_residual)
-        return Solution(
-            U=merge(sols.U, psols.U),
-            X=merge(sols.X, psols.X),
-            cost=merge(sols.cost, psols.cost),
-            kkt_residual=kkt,
-            converged=kkt < tol,
-            n_iters=sols.n_iters,
-            reg=sols.reg,
-        )
+
+def _select_polish(sols, thetas, capacity):
+    B = sols.kkt_residual.shape[0]
+    fail = jnp.logical_not(sols.converged)
+    score = fail.astype(jnp.float32) * 2.0 - jnp.arange(B) / B
+    _, idx = jax.lax.top_k(score, capacity)
+    sub = jax.tree_util.tree_map(lambda l: l[idx], thetas)
+    return sub, sols.U[idx], idx, fail
+
+
+def _merge_polish(sols, psols, idx, fail, capacity, tol):
+    improved = jnp.logical_and(psols.kkt_residual < sols.kkt_residual[idx], fail[idx])
+
+    def merge(old, new):
+        shape = (capacity,) + (1,) * (new.ndim - 1)
+        take = improved.reshape(shape)
+        return old.at[idx].set(jnp.where(take, new, old[idx]))
+
+    kkt = merge(sols.kkt_residual, psols.kkt_residual)
+    return Solution(
+        U=merge(sols.U, psols.U),
+        X=merge(sols.X, psols.X),
+        cost=merge(sols.cost, psols.cost),
+        kkt_residual=kkt,
+        converged=kkt < tol,
+        n_iters=sols.n_iters,
+        reg=sols.reg,
+    )
+
+
+def make_fast_polish_solver(
+    ocp: OCP,
+    settings: SolverSettings = SolverSettings(),
+    *,
+    capacity: int = 1536,
+    polish_iters: int = 12,
+    lanes: int = 128,
+    fuse: bool = True,
+):
+    """Model-generic bank composite: lane-aligned first pass + compacted
+    box-DDP KKT polish — the production configuration for the ext model
+    families, where the straggler tail is control-saturated rows whose
+    clipped-feedback Riccati direction stalls (the box-DDP masking fixes
+    exactly that). Any small-(n, m) OCP with batch-safe callables works;
+    nothing here is unicycle-specific.
+
+    Measured on the TPU v5 lite quadrotor bank (B=4096, N=20, hover warm
+    start): plain default schedule 9.2k solves/s at 72.6% strict
+    convergence; ``SolverSettings.fast()`` first pass + 12-iteration polish
+    at capacity 1536 -> **14.9k solves/s at 97.8%** — faster AND more
+    robust, because the fast schedule's savings pay for a targeted
+    last-mile pass instead of blanket iterations.
+
+    ``fuse=False`` jits the stages separately (see
+    :func:`make_multistart_two_pass_solver`); do not wrap the unfused
+    solve in ``jax.jit``.
+    """
+    from .batched import make_bank_kkt_polish, make_bank_solver_fast
+
+    first = make_bank_solver_fast(ocp, settings, lanes=lanes)
+    p_lanes = next(l for l in (128, 64, 32, 16, 8, 4, 2, 1) if capacity % l == 0)
+    polish = make_bank_kkt_polish(
+        ocp, n_iters=polish_iters, kkt_tol=settings.kkt_tol, lanes=p_lanes
+    )
+    if fuse:
+        return make_polish_stage(first, polish, capacity, kkt_tol=settings.kkt_tol)
+    tol = settings.kkt_tol
+    first_j = jax.jit(first)
+    polish_j = jax.jit(polish)
+    sel = jax.jit(lambda s, th: _select_polish(s, th, capacity))
+    mer = jax.jit(lambda s, p, i, f: _merge_polish(s, p, i, f, capacity, tol))
+
+    def solve(thetas, U0s):
+        sols = first_j(thetas, U0s)
+        sub, warm, idx, fail = sel(sols, thetas)
+        psols = polish_j(sub, warm)
+        return mer(sols, psols, idx, fail)
 
     return solve
 
@@ -247,6 +312,7 @@ def make_multistart_two_pass_solver(
     rescue_swing_fracs: Optional[tuple] = None,
     polish_iters: int = 12,
     polish_capacity: Optional[int] = None,
+    fuse: bool = True,
     engine: str = "pallas",
     **engine_opts,
 ):
@@ -283,6 +349,17 @@ def make_multistart_two_pass_solver(
     lanes (``rescue_tile_s=12`` below). The reference's only answer to a
     non-convergent solve is a node crash
     (ros2_mpc/planner/local_planner_tracking.py:74).
+
+    ``fuse=True`` (default) returns one jit-composable program — the
+    caller wraps it in ``jax.jit`` and pays a single dispatch per bank.
+    ``fuse=False`` jits each stage and each compaction/merge step
+    separately (5-7 dispatches per bank): same numerics, same device
+    residency between stages, but each XLA program stays the size of one
+    stage — the fallback for compile environments that cannot hold the
+    whole three-stage module (the tunneled AOT compile helper OOMs on the
+    fused B=4096 N=40 program; dispatches pipeline, so sustained
+    throughput is barely affected). Do NOT wrap the unfused solve in
+    ``jax.jit``.
     """
     from .multistart_bank import make_bank_multistart_solver
 
@@ -321,7 +398,21 @@ def make_multistart_two_pass_solver(
         engine=engine,
         **rescue_opts,
     )
-    base = make_two_pass_solver(first, rescue, capacity, kkt_tol=settings.kkt_tol)
+    if fuse:
+        base = make_two_pass_solver(first, rescue, capacity, kkt_tol=settings.kkt_tol)
+    else:
+        tol = settings.kkt_tol
+        first_j = jax.jit(first)
+        rescue_j = jax.jit(rescue)
+        sel2 = jax.jit(lambda s, th, U: _select_stragglers(s, th, U, capacity))
+        mer2 = jax.jit(lambda s, r, i, f: _merge_rescue(s, r, i, f, capacity, tol))
+
+        def base(thetas, U0s):  # unfused twin of the fused two-pass
+            sols = first_j(thetas, U0s)
+            sub, seeds, idx, fail = sel2(sols, thetas, U0s)
+            rsols = rescue_j(sub, seeds)
+            return mer2(sols, rsols, idx, fail)
+
     if not polish_iters:
         return base
     from .batched import make_bank_kkt_polish
@@ -332,4 +423,17 @@ def make_multistart_two_pass_solver(
     polish = make_bank_kkt_polish(
         ocp, n_iters=polish_iters, kkt_tol=settings.kkt_tol, lanes=lanes
     )
-    return make_polish_stage(base, polish, pc, kkt_tol=settings.kkt_tol)
+    if fuse:
+        return make_polish_stage(base, polish, pc, kkt_tol=settings.kkt_tol)
+    tol = settings.kkt_tol
+    polish_j = jax.jit(polish)
+    sel3 = jax.jit(lambda s, th: _select_polish(s, th, pc))
+    mer3 = jax.jit(lambda s, p, i, f: _merge_polish(s, p, i, f, pc, tol))
+
+    def solve_unfused(thetas, U0s):
+        sols = base(thetas, U0s)
+        sub, warm, idx, fail = sel3(sols, thetas)
+        psols = polish_j(sub, warm)
+        return mer3(sols, psols, idx, fail)
+
+    return solve_unfused

@@ -122,6 +122,43 @@ def test_smooth_bank_parity_fast_vs_vmap():
     _bank_parity(prob, thetas, jnp.zeros((B, 12, 2)), lanes=8, atol=1e-3)
 
 
+def test_fast_polish_composite_generic():
+    """The model-generic bank composite (make_fast_polish_solver): fast
+    first pass + box-DDP KKT polish on the quadrotor bank must never worsen
+    a row and must lift the converged fraction (the measured TPU config:
+    9.2k/s @ 72.6% plain -> 14.9k/s @ 97.8% composite)."""
+    from ros2_mpc_tpu.solver import make_fast_polish_solver
+
+    prob = make_quadrotor_hover(horizon=10, settings=SolverSettings.fast())
+    B = 32
+    rng = np.random.default_rng(5)
+    x0 = np.zeros((B, 12))
+    x0[:, 0:3] = rng.uniform(-0.4, 0.4, (B, 3))
+    x0[:, 6:8] = rng.uniform(-0.15, 0.15, (B, 2))
+    x0[:, 8] = rng.uniform(-0.5, 0.5, B)
+    goal = np.concatenate(
+        [rng.uniform(-0.3, 0.3, (B, 3)), rng.uniform(-0.4, 0.4, (B, 1))], axis=1
+    )
+    thetas = jax.vmap(prob.make_theta)(jnp.asarray(x0), jnp.asarray(goal))
+    U0 = jnp.tile(prob.default_u0[None], (B, 1, 1))
+    plain = jax.jit(make_bank_solver_fast(prob.ocp, prob.settings, lanes=8))
+    comp = jax.jit(
+        make_fast_polish_solver(prob.ocp, prob.settings, capacity=8, lanes=8)
+    )
+    sp = jax.block_until_ready(plain(thetas, U0))
+    sc = jax.block_until_ready(comp(thetas, U0))
+    assert np.all(
+        np.asarray(sc.kkt_residual) <= np.asarray(sp.kkt_residual) + 1e-7
+    )
+    assert np.asarray(sc.converged).mean() >= np.asarray(sp.converged).mean()
+    # unfused twin: identical numerics
+    comp_u = make_fast_polish_solver(
+        prob.ocp, prob.settings, capacity=8, lanes=8, fuse=False
+    )
+    su = comp_u(thetas, U0)
+    np.testing.assert_allclose(np.asarray(su.U), np.asarray(sc.U), atol=1e-6)
+
+
 def test_quadrotor_bank_parity_fast_vs_vmap():
     """The 12-state / 4-control family through the lane-aligned engine: the
     4x4 Quu solves route through the unrolled Cholesky; answers must match

@@ -111,6 +111,24 @@ def test_multistart_rescue_composite_never_worse_and_rescues():
     assert np.all(np.isfinite(np.asarray(sc.U)))
 
 
+def test_multistart_rescue_unfused_matches_fused():
+    """fuse=False runs the same three stages as separately jitted programs
+    (the fallback for compile environments that cannot hold the fused
+    module); numerics must be identical."""
+    from ros2_mpc_tpu.solver import make_multistart_two_pass_solver
+
+    prob = make_point_stabilization(PARAMS, horizon=12, settings=FAST, reference_parity=False)
+    B = 32
+    thetas, U0 = adversarial_saddle_bank(prob, B, seed=1)
+    kw = dict(capacity=4, swing_fracs=(1.0,), engine="vmap", polish_iters=3)
+    fused = jax.jit(make_multistart_two_pass_solver(prob.ocp, FAST, **kw))
+    unfused = make_multistart_two_pass_solver(prob.ocp, FAST, fuse=False, **kw)
+    sf = fused(thetas, U0)
+    su = unfused(thetas, U0)
+    np.testing.assert_allclose(np.asarray(su.U), np.asarray(sf.U), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(su.converged), np.asarray(sf.converged))
+
+
 def test_bank_multistart_rejects_unknown_engine():
     prob = make_point_stabilization(PARAMS, horizon=8, settings=FAST)
     with pytest.raises(ValueError, match="unknown engine"):
