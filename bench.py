@@ -697,6 +697,22 @@ def main():
             secondary["mfu_unattributed_frac"] = round(
                 max(0.0, 1.0 - model_frac - secondary["mfu_loop_overhead_frac"]), 3
             )
+            # Attribution of the remainder (measured bounds, not guesses):
+            # divergence and loop overhead are measured above; the
+            # unattributed residual is dominated by dependency-limited
+            # stretches of the sequential Riccati recursion and line search
+            # (the 66%-of-model line-search phase computes candidates for
+            # already-accepted rows until the whole tile accepts — the next
+            # concrete optimization target), plus Mosaic scheduling around
+            # the scalar (S, L) planes. The per-op-class peaks assume
+            # perfect issue overlap, so the model is an upper bound on any
+            # real schedule of these ops.
+            secondary["mfu_gap_ledger_sums_to_1"] = round(
+                secondary["mfu_model_compute_frac"]
+                + secondary["mfu_loop_overhead_frac"]
+                + secondary["mfu_unattributed_frac"],
+                3,
+            )
             if thetas_c is not None and "corrected_obstacle_solves_per_s" in secondary:
                 solve_c_cnt = jax.jit(
                     make_pallas_point_stab_solver(
