@@ -226,6 +226,9 @@ def main():
     # --- Two-pass straggler rescue (solver/rescue.py): fast first pass +
     # compacted cold/warm long-schedule rescue of the non-converged tail,
     # one jit. The production answer to the 3.3% strict-convergence tail.
+    # (A third box-DDP polish stage was measured here too: +0.24 pt for
+    # -35% throughput — the 128-row polish is latency-bound on this bank,
+    # so it stays where it pays: the saddle and quadrotor composites.)
     try:
         if thetas_c is None or engine != "pallas":
             raise RuntimeError("corrected bank or pallas engine unavailable")
@@ -409,6 +412,34 @@ def main():
         secondary["quadrotor_solves_per_s"] = round(4 * BATCH / min(tq), 1)
         secondary["quadrotor_converged_frac"] = round(
             float(jnp.mean(sols_q.converged.astype(jnp.float32))), 4
+        )
+        # the generic closed-loop fleet (parallel/fleet.py::
+        # make_generic_fleet_rollout): 1024 quadrotors solve-fly-shift to
+        # per-robot goal poses, plant = the OCP's own transition, whole
+        # loop one jitted lax.scan through the generic bank engine
+        from ros2_mpc_tpu.parallel import make_generic_fleet_rollout
+
+        prob_qf = make_quadrotor_hover(
+            horizon=N_HORIZON, settings=SolverSettings.realtime()
+        )
+        B_qf, T_qf = 1024, 40
+        th_qf = jax.tree_util.tree_map(lambda l: l[:B_qf], th_q)
+        U0_qf = U0_q[:B_qf]
+        roll_qf = make_generic_fleet_rollout(
+            prob_qf, n_ticks=T_qf, goal_threshold=0.1
+        )
+        out_qf = roll_qf(th_qf, U0_qf)
+        jax.block_until_ready(out_qf.final_states)
+        tqf = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(roll_qf(th_qf, U0_qf).final_states)
+            tqf.append(time.perf_counter() - t0)
+        secondary["quadrotor_fleet_robot_ticks_per_s"] = round(
+            B_qf * T_qf / min(tqf), 1
+        )
+        secondary["quadrotor_fleet_reach_frac"] = round(
+            float(out_qf.reach_fraction), 4
         )
     except Exception as e:  # noqa: BLE001
         print(f"generic bank bench skipped: {type(e).__name__}: {e}", file=sys.stderr)

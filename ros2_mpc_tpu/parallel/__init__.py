@@ -11,6 +11,7 @@ from .fleet import (
     circle_swarm,
     grid_swap_swarm,
     make_fleet_rollout,
+    make_generic_fleet_rollout,
     make_sharded_fleet_rollout,
     make_sharded_swarm_rollout,
     make_sharded_tracking_fleet_rollout,
@@ -32,6 +33,7 @@ __all__ = [
     "circle_swarm",
     "grid_swap_swarm",
     "make_fleet_rollout",
+    "make_generic_fleet_rollout",
     "make_sharded_fleet_rollout",
     "make_sharded_swarm_rollout",
     "make_sharded_tracking_fleet_rollout",

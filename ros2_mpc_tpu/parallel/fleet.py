@@ -541,6 +541,75 @@ def arc_path_fleet(
     return thetas, paths, U0
 
 
+def make_generic_fleet_rollout(
+    problem,
+    n_ticks: int,
+    goal_threshold: float = 0.2,
+    record: bool = False,
+    engine: str = "fast",
+    pos_dims: Optional[int] = None,
+    **engine_opts,
+):
+    """Closed-loop fleet evaluator for ANY model family: solve -> actuate ->
+    shift under one jit, with the OCP's own ``transition`` as the plant
+    (exact-model closed loop — the unicycle fleets above deliberately keep
+    the reference's RK4-plant/Euler-solver mismatch; this one evaluates the
+    family itself). The round-5 generic engine makes this one function for
+    every family: the 12-state quadrotor fleet runs at bank throughput
+    through the same code as a bicycle fleet.
+
+    ``thetas`` must carry ``x0`` and a ``goal`` whose leading components
+    are a position (2 planar / 3 spatial — inferred from the goal width,
+    override with ``pos_dims``). ``engine``: 'fast' (generic lane-aligned)
+    | 'vmap'. Returns :class:`FleetResult` (goal_dist over the position
+    components)."""
+    kind = getattr(problem, "kind", "")
+    if kind == "tracking":
+        raise ValueError("tracking problems go to make_tracking_fleet_rollout")
+    if engine == "fast":
+        from ..solver.batched import make_bank_solver_fast
+
+        batched_solve = make_bank_solver_fast(
+            problem.ocp, problem.settings, **engine_opts
+        )
+    elif engine == "vmap":
+        if engine_opts:
+            raise ValueError(f"engine='vmap' takes no engine_opts, got {sorted(engine_opts)}")
+        batched_solve = jax.vmap(problem.solve)
+    else:
+        raise ValueError(f"generic fleet takes engine='fast'|'vmap', got {engine!r}")
+    F = problem.ocp.transition
+
+    def rollout(thetas, U0s):
+        x0s = thetas["x0"]
+        pd = pos_dims or (3 if thetas["goal"].shape[-1] >= 4 else 2)
+
+        def tick(carry, _):
+            xs, warm = carry
+            th = dict(thetas)
+            th["x0"] = xs
+            sols = batched_solve(th, warm)
+            u0 = sols.U[:, 0]
+            u0 = jnp.where(jnp.isfinite(u0), u0, 0.0)
+            xs_next = jax.vmap(F)(xs, u0)
+            warm_next = jax.vmap(shift_controls)(sols.U)
+            return (xs_next, warm_next), (xs_next if record else None)
+
+        (xs, _), traj = jax.lax.scan(tick, (x0s, U0s), None, length=n_ticks)
+        goal_dist = jnp.linalg.norm(
+            xs[:, :pd] - thetas["goal"][:, :pd], axis=-1
+        )
+        return FleetResult(
+            final_states=xs,
+            goal_dist=goal_dist,
+            reach_fraction=jnp.mean((goal_dist < goal_threshold).astype(jnp.float32)),
+            mean_dist=jnp.mean(goal_dist),
+            trajectories=jnp.concatenate([x0s[None], traj], axis=0) if record else None,
+        )
+
+    return jax.jit(rollout)
+
+
 class SwarmResult(NamedTuple):
     final_states: jnp.ndarray  # (B, 3)
     goal_dist: jnp.ndarray  # (B,)

@@ -187,3 +187,43 @@ def test_quadrotor_bank_parity_fast_vs_vmap():
     np.testing.assert_allclose(
         np.asarray(sf.cost), np.asarray(sv.cost), rtol=1e-4, atol=1e-5
     )
+
+
+def test_generic_fleet_quadrotor_reaches_hover():
+    """The generic closed-loop fleet evaluator (parallel/fleet.py::
+    make_generic_fleet_rollout): a 12-state quadrotor fleet flies
+    solve-actuate-shift to per-robot goal poses through the generic bank
+    engine — the fleet-scale capability for every model family."""
+    from ros2_mpc_tpu.parallel import make_generic_fleet_rollout
+
+    dt = 0.05
+    prob = make_quadrotor_hover(
+        horizon=16, dt=dt,
+        settings=SolverSettings(barrier_stages=4, iters_per_stage=4, n_alphas=6,
+                                mu_init=1e-2),
+    )
+    B = 16
+    rng = np.random.default_rng(9)
+    x0 = np.zeros((B, 12))
+    x0[:, 0:3] = rng.uniform(-0.3, 0.3, (B, 3))
+    x0[:, 8] = rng.uniform(-0.4, 0.4, B)
+    goal = np.concatenate(
+        [rng.uniform(-0.4, 0.4, (B, 3)), rng.uniform(-0.3, 0.3, (B, 1))], axis=1
+    )
+    thetas = jax.vmap(prob.make_theta)(jnp.asarray(x0), jnp.asarray(goal))
+    U0 = jnp.tile(prob.default_u0[None], (B, 1, 1))
+    roll = make_generic_fleet_rollout(prob, n_ticks=50, goal_threshold=0.1, lanes=8)
+    out = roll(thetas, U0)
+    assert np.all(np.isfinite(np.asarray(out.final_states)))
+    assert float(out.reach_fraction) >= 0.9, float(out.mean_dist)
+    # hovering at the goal, not flying through: terminal velocities small
+    assert np.abs(np.asarray(out.final_states)[:, 3:6]).max() < 0.2
+
+
+def test_generic_fleet_rejects_tracking():
+    from ros2_mpc_tpu.parallel import make_generic_fleet_rollout
+    from ros2_mpc_tpu.solver import make_tracking
+
+    prob = make_tracking(PARAMS, horizon=8)
+    with pytest.raises(ValueError, match="tracking"):
+        make_generic_fleet_rollout(prob, n_ticks=2)
